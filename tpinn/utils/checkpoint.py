@@ -1,0 +1,56 @@
+"""Checkpoint / resume for trained parameters and stage state.
+
+The reference keeps trained params only in thread-local memory — once the
+training thread dies the model is gone (SURVEY.md §5).  Here each stage's
+parameter pytree (plus metadata) is saved as a flat .npz keyed by tree
+paths, loadable without the original module state.  Orbax is available in
+the environment for heavier use; this format stays dependency-free and
+human-inspectable.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from tpinn.utils.artifacts import atomic_savez
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def save_pytree(path, tree, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Save a pytree of arrays as flat npz with path-string keys."""
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    arrays = {f"leaf:{_path_str(p)}": np.asarray(v) for p, v in leaves_with_paths}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8
+    )
+    atomic_savez(path, **arrays)
+
+
+def load_pytree(path, like) -> Tuple[Any, Dict[str, Any]]:
+    """Load into the structure of the template pytree ``like``."""
+    data = np.load(path)
+    meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+    paths, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for p, template in paths:
+        key = f"leaf:{_path_str(p)}"
+        if key not in data:
+            raise KeyError(f"checkpoint {path} missing leaf {key}")
+        leaves.append(jax.numpy.asarray(data[key], dtype=template.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta
