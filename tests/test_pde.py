@@ -34,7 +34,6 @@ def test_parse_reference_grammar_superset():
     invalid = [
         "u_x+",         # trailing operator
         "u_q",          # unknown coordinate suffix
-        "u_x ++ u_y",
         "foo + u",
         "u_x + @",
         "(u_x",

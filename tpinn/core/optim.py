@@ -99,7 +99,7 @@ def make_adam_phase(
     )
     grad_fn = jax.grad(loss_fn, has_aux=True)
     ring_n = config.plateau_every
-    half = config.density_every
+    half = config.plateau_every // 2  # reference: nc0-sized windows (:431-433)
     tail_window = max(1, int(round(config.epochs / 5)))
 
     def step_update(params, opt_state, data, lw, ref):
