@@ -1,0 +1,132 @@
+"""Sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpinn import parallel, problems
+from tpinn.core import loss as loss_mod
+from tpinn.core import net, optim, pde, sample, train
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return parallel.make_mesh()
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    return parallel.make_mesh(ensemble=2)
+
+
+def _problem_setup(dtype=jnp.float32, n_bd=16):
+    problem = problems.poisson_2d()
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    fm = net.feature_map_for(problem.feature_kinds)
+    spec = net.MLPSpec(depth=2, width=16)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm, dtype)
+    predictor = net.make_predictor(
+        spec, fm, jnp.asarray(problem.lb), jnp.asarray(problem.ub)
+    )
+    cfg = sample.SamplerConfig(n_col=128, n_band=32, n_adaptive=32, n_bd=n_bd,
+                               grid=21)
+    sample_fn, grids = sample.make_sampler(
+        cfg, problem.bc_groups, problem.lb, problem.ub, dtype
+    )
+    loss_fn = loss_mod.make_loss(predictor, compiled)
+    return problem, params, predictor, sample_fn, grids, loss_fn, compiled
+
+
+def test_sharded_loss_matches_single_device(mesh8):
+    _, params, _, sample_fn, grids, loss_fn, _ = _problem_setup()
+    data = sample_fn(jax.random.PRNGKey(1), jnp.ones_like(grids[0]))
+    lw = jnp.array([1.0, 0.0])
+    ref = jnp.array(1.0)
+
+    single = jax.jit(loss_fn)(params, data, lw, ref)
+
+    ploss = parallel.make_parallel_loss(loss_fn, mesh8)
+    sharded_data = parallel.shard_data(data, mesh8)
+    out = jax.jit(ploss)(params, sharded_data, lw, ref)
+
+    np.testing.assert_allclose(float(single[0]), float(out[0]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(single[1]), np.asarray(out[1]), rtol=1e-5
+    )
+
+
+def test_sharded_grad_matches_single_device(mesh8):
+    _, params, _, sample_fn, grids, loss_fn, _ = _problem_setup()
+    data = sample_fn(jax.random.PRNGKey(2), jnp.ones_like(grids[0]))
+    lw = jnp.array([1.0, 0.0])
+    ref = jnp.array(1.0)
+
+    g1 = jax.jit(jax.grad(lambda p: loss_fn(p, data, lw, ref)[0]))(params)
+
+    ploss = parallel.make_parallel_loss(loss_fn, mesh8)
+    sharded = parallel.shard_data(data, mesh8)
+    g2 = jax.jit(jax.grad(lambda p: ploss(p, sharded, lw, ref)[0]))(params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_full_adam_phase_sharded(mesh8):
+    """The complete on-chip Adam automaton runs under the mesh with sharded
+    resampling inside the scan."""
+    _, params, predictor, sample_fn, grids, loss_fn, compiled = _problem_setup()
+    ploss = parallel.make_parallel_loss(loss_fn, mesh8)
+    psample = parallel.sharded_sampler(sample_fn, mesh8)
+    density_fn = train.make_density_fn(predictor, compiled, grids)
+    cfg = optim.AdamConfig(epochs=30, resample_every=10, density_every=15,
+                           plateau_every=20, tail_max=10)
+    phase = optim.make_adam_phase(ploss, psample, density_fn, cfg,
+                                  info_width=loss_mod.loss_info_width(4))
+    F0 = jnp.ones_like(grids[0])
+    data0 = parallel.shard_data(psample(jax.random.PRNGKey(3), F0), mesh8)
+    with jax.sharding.set_mesh(mesh8):
+        res = phase(jax.random.PRNGKey(4), params, data0, F0,
+                    jnp.array([1.0, 0.0]), jnp.array(1.0))
+    hist = np.asarray(res.history)[: int(res.n_valid)]
+    assert np.isfinite(hist[:, 0]).all()
+    assert hist[-1, 0] < hist[0, 0]
+
+
+def test_ensemble_parallel(mesh_2x4):
+    """4 independent nets trained as one vmapped/sharded ensemble."""
+    problem = problems.poisson_1d()
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    fm = net.feature_map_for(problem.feature_kinds)
+    spec = net.MLPSpec(depth=2, width=16)
+    init_fn = lambda k: net.init_params(k, spec, fm)
+    eparams = parallel.ensemble_init(jax.random.PRNGKey(0), init_fn, 4,
+                                     mesh_2x4)
+    predictor = net.make_predictor(spec, fm, jnp.asarray(problem.lb),
+                                   jnp.asarray(problem.ub))
+    loss_fn = loss_mod.make_loss(predictor, compiled)
+    eloss = parallel.make_ensemble_loss(loss_fn, mesh_2x4)
+
+    cfg = sample.SamplerConfig(n_col=64, n_band=0, n_adaptive=0, n_bd=8,
+                               grid=33)
+    sample_fn, grids = sample.make_sampler_1d(cfg, problem.bc_groups,
+                                              problem.lb, problem.ub)
+    data = sample_fn(jax.random.PRNGKey(1), jnp.ones_like(grids[0]))
+    lw = jnp.array([1.0, 0.0])
+    ref = jnp.array(1.0)
+
+    total, infos = jax.jit(eloss)(eparams, data, lw, ref)
+    assert infos.shape[0] == 4
+    # members differ (different seeds)
+    assert len({float(x) for x in infos[:, 0]}) == 4
+
+    # one grad step trains all members at once
+    g = jax.jit(jax.grad(lambda p: eloss(p, data, lw, ref)[0]))(eparams)
+    assert jax.tree_util.tree_structure(g) == jax.tree_util.tree_structure(eparams)
+
+
+def test_round_count(mesh8):
+    assert parallel.round_count(100, mesh8) == 104
+    assert parallel.round_count(104, mesh8) == 104
