@@ -34,6 +34,20 @@ DEPTH, WIDTH = 6, 60
 BATCH = N_COL + N_BAND + N_ADAPT + 2 * N_BD   # 5200
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: bench re-runs skip the (slow, tunneled)
+    TPU compile."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def build(dtype):
     import jax
     import jax.numpy as jnp
@@ -155,6 +169,7 @@ def bench_cpu_reference(steps=30):
 
 
 def main():
+    _enable_compile_cache()
     baseline = bench_cpu_reference()
     value = bench_tpu()
     print(json.dumps({

@@ -1,0 +1,115 @@
+"""Fused Taylor-2 engine vs the generic nested-jvp engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpinn.core import deriv, loss as loss_mod, net, pde, taylor
+
+
+IDX = [(), (0,), (1,), (0, 0), (1, 1), (0, 1)]
+
+
+def _setup(act="tanh", kinds=("minmax", "periodic"), depth=3, width=20,
+           scl=2.0, epsil=0.7):
+    fm = net.feature_map_for(kinds)
+    spec = net.MLPSpec(depth=depth, width=width, act_first=act, scl=scl,
+                       epsil=epsil)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm)
+    lb = jnp.array([0.1, 0.0])
+    ub = jnp.array([1.0, 1.0])
+    predictor = net.make_predictor(spec, fm, lb, ub)
+    z = jax.random.uniform(jax.random.PRNGKey(1), (37, 2), minval=0.2,
+                           maxval=0.9)
+    return predictor, params, z, (spec, fm, lb, ub)
+
+
+@pytest.mark.parametrize("act,kinds", [
+    ("tanh", ("minmax", "periodic")),
+    ("sin", ("minmax", "minmax")),
+    ("tanh", ("identity", "identity")),
+])
+def test_taylor2_matches_generic(act, kinds):
+    predictor, params, z, _ = _setup(act=act, kinds=kinds)
+    fused = predictor.tpinn_partials(params, z, IDX)
+    generic = deriv.partials(lambda zz: predictor(params, zz), z, IDX)
+    for ix in IDX:
+        np.testing.assert_allclose(
+            np.asarray(fused[ix]), np.asarray(generic[ix]),
+            rtol=2e-4, atol=1e-5, err_msg=str(ix),
+        )
+
+
+def test_taylor2_composed_stage():
+    predictor1, params1, z, (spec, fm, lb, ub) = _setup()
+    frozen = taylor.attach_frozen_meta(
+        lambda zz: predictor1(params1, zz), predictor1, params1
+    )
+    spec2 = net.MLPSpec(depth=2, width=16, act_first="sin", scl=4.0,
+                        epsil=0.2)
+    predictor2 = net.compose_stages(frozen, spec2, fm, lb, ub)
+    params2 = net.init_params(jax.random.PRNGKey(5), spec2, fm)
+
+    fused = predictor2.tpinn_partials(params2, z, IDX)
+    generic = deriv.partials(lambda zz: predictor2(params2, zz), z, IDX)
+    for ix in IDX:
+        np.testing.assert_allclose(
+            np.asarray(fused[ix]), np.asarray(generic[ix]),
+            rtol=3e-4, atol=1e-5, err_msg=str(ix),
+        )
+
+
+def test_taylor2_gradients_match_generic():
+    """jax.grad through the fused engine == grad through nested jvp —
+    the training path depends on this."""
+    predictor, params, z, _ = _setup(depth=2, width=12)
+    compiled = pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt",
+                               coords=("r", "t"))
+
+    def loss_fused(p):
+        f = compiled.residual_fast(predictor, p, z)
+        return jnp.mean(f**2)
+
+    def loss_generic(p):
+        f = compiled.residual(lambda zz: predictor(p, zz), z)
+        return jnp.mean(f**2)
+
+    g1 = jax.jit(jax.grad(loss_fused))(params)
+    g2 = jax.jit(jax.grad(loss_generic))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=1e-5)
+
+
+def test_fast_partials_fallback_order3():
+    """Order-3 equations silently use the generic engine."""
+    predictor, params, z, _ = _setup(depth=2, width=10)
+    compiled = pde.compile_pde("u_rrr + u_r", coords=("r", "t"))
+    assert compiled.max_order == 3
+    f = compiled.residual_fast(predictor, params, z)
+    assert f.shape == (37, 1)
+    assert bool(jnp.all(jnp.isfinite(f)))
+
+
+def test_fast_partials_fallback_fourier():
+    """Fourier-feature nets lack a fused engine; the loss still works."""
+    fm = net.feature_map_for(("identity", "identity"))
+    spec = net.MLPSpec(depth=2, width=12, fourier_features=4)
+    params = net.init_params(jax.random.PRNGKey(2), spec, fm)
+    predictor = net.make_predictor(spec, fm, jnp.zeros(2), jnp.ones(2))
+    assert not hasattr(predictor, "tpinn_partials")
+    compiled = pde.compile_pde("u_xx + u_yy", coords=("x", "y"))
+    z = jax.random.uniform(jax.random.PRNGKey(3), (9, 2))
+    f = compiled.residual_fast(predictor, params, z)
+    assert f.shape == (9, 1)
+
+
+def test_plan_streams():
+    streams = taylor.plan_streams([(0, 0), (1, 1)])
+    assert streams == [(), (0,), (1,), (0, 0), (1, 1)]
+    streams = taylor.plan_streams([(0, 1)])
+    assert streams == [(), (0,), (1,), (0, 1)]
+    with pytest.raises(ValueError):
+        taylor.plan_streams([(0, 0, 0)])

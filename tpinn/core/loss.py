@@ -58,7 +58,9 @@ def make_loss(
             data_errs.append(ms_error(f_u(z_bd) - u_bd))
         data_err = jnp.concatenate(data_errs) if data_errs else jnp.zeros((0,))
 
-        f = pde.residual(f_u, data["x_col"])
+        # fused Taylor-2 path when the predictor supports it (plain MLP /
+        # composed stages); generic forward-mode engine otherwise
+        f = pde.residual_fast(predictor, params, data["x_col"])
         if source_fn is not None:
             f = f - source_fn(data["x_col"])
         eqn_err = ms_error(f)

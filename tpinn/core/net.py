@@ -231,7 +231,9 @@ def make_predictor(
         h = feature_map(z, lb, ub)
         return spec.epsil * mlp_apply(params, h, spec)
 
-    return f_u
+    from tpinn.core import taylor  # late import (taylor imports net)
+
+    return taylor.attach_mlp_meta(f_u, spec, feature_map, lb, ub)
 
 
 def compose_stages(
@@ -252,7 +254,9 @@ def compose_stages(
     def f_comb(params: dict, z: Array) -> Array:
         return prev_fn(z) + stage_fn(params, z)
 
-    return f_comb
+    from tpinn.core import taylor  # late import (taylor imports net)
+
+    return taylor.attach_sum_meta(f_comb, prev_fn, stage_fn)
 
 
 def num_params(params) -> int:

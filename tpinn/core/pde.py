@@ -345,6 +345,21 @@ class CompiledPDE:
         u_parts = deriv.partials(f_u, z, self.indices)
         return _evaluate(self.ast, z, u_parts)
 
+    def evaluate(self, z: Array, u_parts: Dict[MultiIndex, Array]) -> Array:
+        """Evaluate the residual from precomputed u-partials (the fused
+        Taylor-2 path supplies these, tpinn.core.taylor)."""
+        return _evaluate(self.ast, z, u_parts)
+
+    def residual_fast(self, predictor, params, z: Array) -> Array:
+        """Residual via the structure-aware fused engine when the predictor
+        advertises one (order ≤ 2), generic nested-jvp otherwise."""
+        from tpinn.core import taylor
+
+        parts = taylor.fast_partials(
+            predictor, params, z, self.indices, self.max_order
+        )
+        return _evaluate(self.ast, z, parts)
+
     def __call__(self, f_u: Callable[[Array], Array], z: Array) -> Array:
         return self.residual(f_u, z)
 

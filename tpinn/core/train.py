@@ -179,8 +179,7 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None)
         x_nodes = grids[0]
 
         def density1(params):
-            f_u = lambda z: predictor(params, z)
-            f0 = compiled.residual(f_u, x_nodes)
+            f0 = compiled.residual_fast(predictor, params, x_nodes)
             if source_fn is not None:
                 f0 = f0 - source_fn(x_nodes)
             f_sq = f0**2
@@ -193,8 +192,7 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None)
     z_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
 
     def density2(params):
-        f_u = lambda z: predictor(params, z)
-        f0 = compiled.residual(f_u, z_star)
+        f0 = compiled.residual_fast(predictor, params, z_star)
         if source_fn is not None:
             f0 = f0 - source_fn(z_star)
         f_sq = f0**2
@@ -381,9 +379,14 @@ def run_training(
         # --- evaluation + diagnostics
         frozen = _freeze(predictor, params)
         u_star = jax.jit(frozen)(X_star)
-        f_star = jax.jit(
-            lambda z: _residual_with_source(compiled, source_fn, frozen, z)
-        )(X_star)
+
+        def _f_eval(z):
+            f = compiled.residual_fast(predictor, params, z)
+            if source_fn is not None:
+                f = f - source_fn(z)
+            return f
+
+        f_star = jax.jit(_f_eval)(X_star)
 
         if problem.dim == 1:
             U = np.asarray(u_star)[:, 0][None, :]     # [1, nx]
@@ -442,7 +445,10 @@ def run_training(
 
 
 def _freeze(predictor, params):
-    return lambda z: predictor(params, z)
+    from tpinn.core import taylor
+
+    frozen = lambda z: predictor(params, z)
+    return taylor.attach_frozen_meta(frozen, predictor, params)
 
 
 def _residual_with_source(compiled, source_fn, frozen, z):
