@@ -1,0 +1,83 @@
+"""Loss system: loss_info contract, normalization, deriv-loss term, engines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpinn.core import loss as loss_mod
+from tpinn.core import net, pde, sample
+
+
+def _setup():
+    fm = net.feature_map_for(("minmax", "periodic"))
+    spec = net.MLPSpec(depth=2, width=12)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm)
+    lb, ub = jnp.array([0.1, 0.0]), jnp.array([1.0, 1.0])
+    predictor = net.make_predictor(spec, fm, lb, ub)
+    compiled = pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt",
+                               coords=("r", "t"))
+    key = jax.random.PRNGKey(1)
+    x_col = jax.random.uniform(key, (200, 2), minval=0.2, maxval=0.9)
+    x_bd = [jnp.stack([jnp.full(30, 0.1),
+                       jnp.linspace(0, 1, 30)], axis=1),
+            jnp.stack([jnp.full(30, 1.0),
+                       jnp.linspace(0, 1, 30)], axis=1)]
+    u_bd = [jnp.ones((30, 1)), jnp.zeros((30, 1))]
+    data = {"x_col": x_col, "x_bd": x_bd, "u_bd": u_bd}
+    return predictor, compiled, params, data
+
+
+def test_loss_info_layout_and_normalization():
+    predictor, compiled, params, data = _setup()
+    loss_fn = loss_mod.make_loss(predictor, compiled)
+    lw = jnp.array([0.05, 0.0])
+    loss_n, info = jax.jit(loss_fn)(params, data, lw, jnp.array(2.0))
+    # layout: [loss, loss_data, loss_eqn, data_err1, data_err2, eqn_err]
+    assert info.shape == (6,)
+    np.testing.assert_allclose(float(info[0]),
+                               float(info[1] + 0.05 * info[2]), rtol=1e-5)
+    np.testing.assert_allclose(float(info[1]),
+                               float(info[3] + info[4]), rtol=1e-5)
+    np.testing.assert_allclose(float(loss_n), float(info[0]) / 2.0, rtol=1e-6)
+    assert loss_mod.loss_info_width(2) == 6
+
+
+def test_engines_agree():
+    predictor, compiled, params, data = _setup()
+    lw = jnp.array([1.0, 0.0])
+    ref = jnp.array(1.0)
+    l_auto = loss_mod.make_loss(predictor, compiled, engine="auto")
+    l_gen = loss_mod.make_loss(predictor, compiled, engine="generic")
+    a = jax.jit(l_auto)(params, data, lw, ref)
+    b = jax.jit(l_gen)(params, data, lw, ref)
+    np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-4)
+
+
+def test_deriv_loss_term():
+    """lw[1] weights a real residual-gradient term (the reference's dead
+    'df' weight made live)."""
+    predictor, compiled, params, data = _setup()
+    loss_fn = loss_mod.make_loss(predictor, compiled, deriv_loss=True)
+    lw0 = jnp.array([1.0, 0.0])
+    lw1 = jnp.array([1.0, 0.5])
+    l0, info0 = jax.jit(loss_fn)(params, data, lw0, jnp.array(1.0))
+    l1, info1 = jax.jit(loss_fn)(params, data, lw1, jnp.array(1.0))
+    # one extra eqn_err column
+    assert info0.shape == (7,)
+    # df term is positive, so weighting it raises the loss
+    assert float(l1) > float(l0)
+    np.testing.assert_allclose(
+        float(info1[2]), float(info1[5] + 0.5 * info1[6]), rtol=1e-5)
+    # gradable
+    g = jax.grad(lambda p: loss_fn(p, data, lw1, jnp.array(1.0))[0])(params)
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_relative_l2():
+    u = jnp.array([[1.0], [2.0]])
+    assert float(loss_mod.relative_l2(u, u)) == 0.0
+    err = loss_mod.relative_l2(u * 1.1, u)
+    np.testing.assert_allclose(float(err), 0.1, rtol=1e-5)

@@ -1,0 +1,151 @@
+"""Model serving: evaluate trained PINN checkpoints over HTTP.
+
+The reference discards trained parameters when its training thread exits —
+results exist only as plot .npz files (SURVEY §5 checkpoint row).  Here a
+trained stage checkpoint (tpinn.utils.checkpoint, written by run_training)
+can be re-loaded and served: batched u(z) / residual(z) queries evaluated
+under jit on whatever accelerator is attached.
+
+Run:  python -m tpinn.app.serve --checkpoint out/params_stage_1.npz \
+          --problem annulus_laplace [--port 8060]
+
+API:
+    POST /predict   {"points": [[r, t], ...]}      -> {"u": [...]}
+    POST /residual  {"points": [[r, t], ...]}      -> {"f": [...]}
+    GET  /health                                   -> {"ok": true, ...}
+
+Queries are padded to fixed batch tiers (powers of two) so the jitted
+evaluator compiles a handful of shapes, never per-request.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+class PINNServer:
+    def __init__(self, checkpoint: str, problem_name: str,
+                 depth: Optional[int] = None, width: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from tpinn import problems
+        from tpinn.core import net, pde
+        from tpinn.utils import checkpoint as ckpt
+
+        self.jnp = jnp
+        self.jax = jax
+        problem = problems.get_problem(problem_name)
+        self.problem = problem
+        self.compiled = pde.compile_pde(problem.equation, problem.coords)
+        fm = net.feature_map_for(problem.feature_kinds)
+
+        # peek metadata for the architecture
+        raw = np.load(checkpoint)
+        meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw \
+            else {}
+        layer_keys = sorted(k for k in raw.files if k.endswith("/w"))
+        widths = [raw[k].shape for k in layer_keys]
+        inferred_depth = len(widths) - 1
+        inferred_width = widths[0][1]
+        spec = net.MLPSpec(
+            depth=depth or inferred_depth, width=width or inferred_width,
+            scl=float(meta.get("scl", 1.0)),
+            epsil=float(meta.get("epsil", 1.0)),
+        )
+        template = net.init_params(jax.random.PRNGKey(0), spec, fm)
+        self.params, _ = ckpt.load_pytree(checkpoint, template)
+        self.predictor = net.make_predictor(
+            spec, fm, jnp.asarray(problem.lb), jnp.asarray(problem.ub)
+        )
+        self._predict = jax.jit(self.predictor)
+        self._residual = jax.jit(
+            lambda p, z: self.compiled.residual_fast(self.predictor, p, z)
+        )
+
+    @staticmethod
+    def _tier(n: int) -> int:
+        t = 64
+        while t < n:
+            t *= 2
+        return t
+
+    def _eval(self, fn, points):
+        jnp = self.jnp
+        pts = np.asarray(points, dtype=np.float32)
+        if pts.ndim != 2 or pts.shape[1] != self.problem.dim:
+            raise ValueError(
+                f"points must be [n, {self.problem.dim}] for "
+                f"{self.problem.name}"
+            )
+        n = pts.shape[0]
+        tier = self._tier(n)
+        padded = np.zeros((tier, pts.shape[1]), np.float32)
+        padded[:n] = pts
+        padded[n:] = pts[-1] if n else 0.5
+        out = fn(self.params, jnp.asarray(padded))
+        return np.asarray(out)[:n, 0].tolist()
+
+    def predict(self, points):
+        return self._eval(self._predict, points)
+
+    def residual(self, points):
+        return self._eval(self._residual, points)
+
+
+def make_handler(server: PINNServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"ok": True, "problem": server.problem.name,
+                            "equation": server.problem.equation})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length))
+                points = body["points"]
+                if self.path == "/predict":
+                    self._json({"u": server.predict(points)})
+                elif self.path == "/residual":
+                    self._json({"f": server.residual(points)})
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:
+                self._json({"error": str(e)}, 400)
+
+    return Handler
+
+
+def main():  # pragma: no cover
+    p = argparse.ArgumentParser(description="serve a trained tpinn model")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--problem", required=True)
+    p.add_argument("--port", type=int, default=8060)
+    args = p.parse_args()
+    server = PINNServer(args.checkpoint, args.problem)
+    httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
+    print(f"serving {args.problem} on :{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

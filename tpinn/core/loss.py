@@ -39,6 +39,8 @@ def make_loss(
     predictor: Callable[[dict, Array], Array],
     pde: CompiledPDE,
     source_fn: Callable[[Array], Array] | None = None,
+    deriv_loss: bool = False,
+    engine: str = "auto",
 ):
     """Build ``loss_fn(params, data, lw, ref) -> (loss_n, loss_info)``.
 
@@ -47,8 +49,26 @@ def make_loss(
     :param source_fn: optional forcing ``g(z)``; residual becomes
         ``pde(...) - g(z)`` (for problems whose RHS is not baked into the
         equation string).
-    :returns: loss function with the reference's loss_info layout.
+    :param deriv_loss: add the residual-*gradient* MSE term weighted by
+        ``lw[1]`` — the reference sketches this (gov_deri_eqn,
+        software.py:300-307) but leaves it commented out of the loss
+        (:354, :359-361), which is why its UI "df" weight is dead; here it
+        is a real, optional term.  Adds one eqn_err column per coordinate.
+    :param engine: "auto" (structure-aware fused Taylor-2 when available),
+        "generic" (nested-jvp), or "fused" (require the fused path).
+    :returns: loss function with the reference's loss_info layout
+        ``[loss, loss_data, loss_eqn, data_err_1..G, eqn_err...]``.
     """
+    from tpinn.core import deriv as deriv_mod
+
+    def residual_at(params, z):
+        if engine == "generic":
+            f = pde.residual(lambda zz: predictor(params, zz), z)
+        else:
+            f = pde.residual_fast(predictor, params, z)
+        if source_fn is not None:
+            f = f - source_fn(z)
+        return f
 
     def loss_fn(params: dict, data: Dict, lw: Array, ref: Array):
         f_u = lambda z: predictor(params, z)
@@ -58,15 +78,27 @@ def make_loss(
             data_errs.append(ms_error(f_u(z_bd) - u_bd))
         data_err = jnp.concatenate(data_errs) if data_errs else jnp.zeros((0,))
 
-        # fused Taylor-2 path when the predictor supports it (plain MLP /
-        # composed stages); generic forward-mode engine otherwise
-        f = pde.residual_fast(predictor, params, data["x_col"])
-        if source_fn is not None:
-            f = f - source_fn(data["x_col"])
-        eqn_err = ms_error(f)
+        x_col = data["x_col"]
+        f = residual_at(params, x_col)
+        eqn_errs = [ms_error(f)]
+        eqn_weights = [1.0]
 
+        if deriv_loss:
+            # d(residual)/dz via forward mode over the residual itself
+            res_of_z = lambda z: residual_at(params, z)
+            d = x_col.shape[1]
+            dparts = deriv_mod.partials(res_of_z, x_col,
+                                        [(i,) for i in range(d)])
+            df = jnp.concatenate([dparts[(i,)] for i in range(d)], axis=1)
+            eqn_errs.append(jnp.mean(ms_error(df), keepdims=True))
+            eqn_weights.append(1.0)  # scaled by lw[1] below
+
+        eqn_err = jnp.concatenate(eqn_errs)
         loss_data = jnp.sum(data_err)
-        loss_eqn = jnp.sum(eqn_err)
+        if deriv_loss:
+            loss_eqn = eqn_err[0] + lw[1] * eqn_err[1]
+        else:
+            loss_eqn = jnp.sum(eqn_err)
         loss = loss_data + lw[0] * loss_eqn
         loss_n = loss / ref
         loss_info = jnp.concatenate(
