@@ -47,7 +47,7 @@ def test_engines_agree():
     predictor, compiled, params, data = _setup()
     lw = jnp.array([1.0, 0.0])
     ref = jnp.array(1.0)
-    l_auto = loss_mod.make_loss(predictor, compiled, engine="auto")
+    l_auto = loss_mod.make_loss(predictor, compiled, engine="fused")
     l_gen = loss_mod.make_loss(predictor, compiled, engine="generic")
     a = jax.jit(l_auto)(params, data, lw, ref)
     b = jax.jit(l_gen)(params, data, lw, ref)

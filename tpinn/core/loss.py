@@ -64,7 +64,10 @@ def make_loss(
     def residual_at(params, z):
         if engine == "generic":
             f = pde.residual(lambda zz: predictor(params, zz), z)
-        else:
+        elif engine == "fused":
+            parts = predictor.tpinn_partials(params, z, pde.indices)
+            f = pde.evaluate(z, parts)
+        else:  # "auto": dispatch via taylor.fast_partials policy
             f = pde.residual_fast(predictor, params, z)
         if source_fn is not None:
             f = f - source_fn(z)

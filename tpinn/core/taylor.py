@@ -234,13 +234,29 @@ def attach_frozen_meta(frozen, predictor, params):
     return frozen
 
 
+# Engine dispatch default.  Measured on TPU v5e (6×60 net, 5200-pt batch,
+# annulus residual): the generic nested-jvp engine beats the stacked fused
+# engine BOTH forward (342μs vs 612μs) and through jax.grad — XLA's jvp
+# linearization fuses tangent arithmetic into the primal matmuls better
+# than the hand-stacked [S·B, W] formulation, which pays for its stream
+# (re)stacking.  The fused engine therefore stays opt-in (it is also the
+# reference implementation for the Pallas kernel, which avoids the
+# restacking cost entirely by staying in VMEM).
+PREFER_FUSED = False
+
+
+def set_fused(enabled: bool) -> None:
+    global PREFER_FUSED
+    PREFER_FUSED = enabled
+
+
 def fast_partials(predictor, params, z, indices, max_order: int):
-    """Structure-aware partials when available + order <= 2; generic
-    nested-jvp otherwise.  This is the single dispatch point used by the
-    loss/residual path."""
+    """Engine dispatch for the loss/residual path: generic nested-jvp by
+    default (measured fastest under XLA), structure-aware fused engine when
+    opted in via set_fused(True) and supported (order <= 2)."""
     from tpinn.core import deriv
 
     fn = getattr(predictor, "tpinn_partials", None)
-    if fn is not None and max_order <= 2:
+    if PREFER_FUSED and fn is not None and max_order <= 2:
         return fn(params, z, indices)
     return deriv.partials(lambda zz: predictor(params, zz), z, indices)

@@ -572,3 +572,26 @@ def run_pinn_training(
 
     return run_training(problem, spec, output_dir=output_dir, log_fn=log_fn,
                         print_log=log_fn is None)
+
+
+if __name__ == "__main__":
+    # Runnable smoke config mirroring the reference's __main__ demo
+    # (software.py:1142-1201): annulus r∈[0.1,1], Dirichlet u(0.1)=1,
+    # u(1)=0, tiny epoch counts — a manual integration smoke test.
+    run_pinn_training(
+        equation="u_rr + 1/r*u_r + 1/r**2*u_tt",
+        boundary={
+            "bd_x1_min": 0.1, "bd_x1_max": 0.1, "bd_y1_min": 0,
+            "bd_y1_max": 1, "bd_u1": 1,
+            "bd_x2_min": 1, "bd_x2_max": 1, "bd_y2_min": 0,
+            "bd_y2_max": 1, "bd_u2": 0,
+        },
+        domain={"x_min": 0.1, "x_max": 1, "y_min": 0, "y_max": 1},
+        scl=1, epsil=1,
+        sample_points={"n_col": 3000, "n_bd": 1000, "n_add": 1000},
+        network_size={"depth": 60, "width": 6},
+        testing_size={"x": 111, "y": 111},
+        epochs={"adam": 1000, "lbfgs": 1000},
+        equation_weight={"f": 0.05, "df": 0},
+        output_dir="data/test",
+    )

@@ -153,8 +153,12 @@ def taylor2_mlp_pallas(
     S = len(streams)
     layers = params["layers"]
     n_layers = len(layers)
-    lb = tuple(float(v) for v in jnp.asarray(lb))
-    ub = tuple(float(v) for v in jnp.asarray(ub))
+    # host-side conversion: np, not jnp — inside a jit trace, unstacking a
+    # jnp closure array yields tracers and float() would fail
+    import numpy as _np
+
+    lb = tuple(float(v) for v in _np.asarray(lb))
+    ub = tuple(float(v) for v in _np.asarray(ub))
 
     N, d = z.shape
     n_blocks = pl.cdiv(N, block)
