@@ -174,3 +174,29 @@ def test_dash_app_gated():
     else:  # pragma: no cover
         app = dash_app.create_app()
         assert app is not None
+
+
+def test_cartesian_equation_through_ui_schema(tmp_path):
+    """A user typing a cartesian equation gets cartesian coords/features —
+    the reference would silently solve its hardcoded polar problem."""
+    mgr = SessionManager(str(tmp_path))
+    sid = mgr.new_session_id()
+    req = _tiny_request(
+        equation="u_xx + u_yy + 2*3.14159**2*sin(3.14159*x)*sin(3.14159*y)",
+        boundary={
+            "bd_x1_min": 0, "bd_x1_max": 0, "bd_y1_min": 0, "bd_y1_max": 1,
+            "bd_u1": 0,
+            "bd_x2_min": 1, "bd_x2_max": 1, "bd_y2_min": 0, "bd_y2_max": 1,
+            "bd_u2": 0,
+        },
+        domain={"x_min": 0, "x_max": 1, "y_min": 0, "y_max": 1},
+    )
+    err = mgr.start(sid, req)
+    assert err is None
+    mgr.get(sid).thread.join(timeout=600)
+    st = mgr.status(sid)
+    assert st["status"] == "done", (st["error"], st["log"][-800:])
+    # no analytic oracle for a custom equation -> no error artifact,
+    # but solution/loss artifacts exist
+    assert (tmp_path / sid / "solution_residual_2.npz").exists()
+    assert not (tmp_path / sid / "error_1.npz").exists()

@@ -125,3 +125,13 @@ def test_residual_jittable():
     fn = jax.jit(lambda z: compiled.residual(u_known, z))
     out = fn(jax.random.uniform(jax.random.PRNGKey(3), (16, 2)))
     assert out.shape == (16, 1)
+
+
+def test_infer_coords():
+    assert pde.infer_coords("u_rr + 1/r*u_r + 1/r**2*u_tt") == ("r", "t")
+    assert pde.infer_coords("u_xx + u_yy") == ("x", "y")
+    assert pde.infer_coords("u_t + u*u_x - 0.01*u_xx") == ("x", "t")
+    assert pde.infer_coords("u_xx + sin(pi*x)") == ("x",)
+    assert pde.infer_coords("u_xx + exp(u)") == ("x",)  # 'exp' is not x/p
+    with pytest.raises(pde.PDESyntaxError):
+        pde.infer_coords("u_rr + u_xx")

@@ -383,6 +383,36 @@ def compile_pde(equation: str, coords: Sequence[str]) -> CompiledPDE:
     )
 
 
+def infer_coords(equation: str) -> Tuple[str, ...]:
+    """Infer the coordinate pair from the identifiers an equation uses.
+
+    The reference UI has one fixed coordinate system; here the equation
+    string decides: ``r``/``t`` → polar ("r", "t"), ``x``/``y`` →
+    cartesian ("x", "y"), ``x``/``t`` → space-time ("x", "t"); a lone
+    ``x`` → 1-D ("x",).  Mixing polar and cartesian names is rejected.
+    """
+    s = equation.replace(" ", "")
+    used: set = set()
+    for m in re.finditer(r"u_([a-z]{1,3})|(?<![a-z_])([xyrt])(?![a-z(])", s):
+        if m.group(1):
+            used.update(m.group(1))
+        elif m.group(2):
+            used.add(m.group(2))
+    used &= {"x", "y", "r", "t"}
+    if "r" in used:
+        if "x" in used or "y" in used:
+            raise PDESyntaxError(
+                f"equation mixes polar (r/t) and cartesian (x/y) names: "
+                f"{equation!r}"
+            )
+        return ("r", "t")
+    if "y" in used:
+        return ("x", "y")
+    if "t" in used:
+        return ("x", "t")
+    return ("x",)
+
+
 def validate_equation(expr: str, coords: Sequence[str] = ("x", "y", "r", "t")) -> bool:
     """UI-grammar validation: True iff the expression parses.
 

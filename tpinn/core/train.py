@@ -518,9 +518,9 @@ def run_pinn_training(
     epochs: dict,
     equation_weight: dict,
     output_dir: str,
-    coords: Tuple[str, str] = ("r", "t"),
-    feature_kinds: Tuple[str, str] = (net.MINMAX, net.PERIODIC),
-    exact: Optional[Callable] = "annulus",
+    coords: Optional[Tuple[str, ...]] = None,
+    feature_kinds: Optional[Tuple[str, ...]] = None,
+    exact: Optional[Callable] = "auto",
     log_fn: Optional[Callable] = None,
     dtype: str = "float32",
 ) -> TrainResult:
@@ -528,10 +528,31 @@ def run_pinn_training(
     same kwarg schema (the Dash callback maps 1:1, training.py:93-105) —
     except the equation string is actually *used* here.
 
-    ``exact="annulus"`` installs the reference's analytic oracle
-    u = log(r)/log(0.1) (software.py:815) — correct for its default
-    annulus-Laplace problem; pass None or a callable for other problems.
+    Coordinates default to inference from the equation (pde.infer_coords):
+    polar r/t gets the reference's hard periodic-θ embedding, cartesian
+    x/y (or x/t) plain min-max features.  ``exact="auto"`` installs the
+    reference's analytic oracle u = log(r)/log(0.1) (software.py:815) only
+    when the equation is its polar Laplacian — the reference writes that
+    error field unconditionally because it ignores the equation entirely.
     """
+    if coords is None:
+        coords = pde.infer_coords(equation)
+        if len(coords) == 1:
+            coords = ("x", "t")  # UI always supplies a 2-D domain
+    if feature_kinds is None:
+        feature_kinds = tuple(
+            net.PERIODIC if c == "t" and coords[0] == "r" else net.MINMAX
+            for c in coords
+        )
+    if exact == "auto":
+        canon = equation.replace(" ", "")
+        if coords == ("r", "t") and canon in (
+            "u_rr+1/r*u_r+1/r**2*u_tt", "u_rr+u_r/r+u_tt/r**2",
+        ):
+            exact = lambda z: jnp.log(z[:, 0:1]) / jnp.log(0.1)
+        else:
+            exact = None
+
     n_groups = len(boundary) // 5
     groups = []
     for i in range(1, n_groups + 1):
@@ -543,7 +564,7 @@ def run_pinn_training(
             )
         )
 
-    if exact == "annulus":
+    if exact == "annulus":  # legacy explicit oracle selector
         exact = lambda z: jnp.log(z[:, 0:1]) / jnp.log(0.1)
 
     problem = ProblemSpec(
