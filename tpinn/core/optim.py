@@ -82,15 +82,18 @@ def make_adam_phase(
     info_width: int,
     log_fn: Optional[Callable] = None,
 ):
-    """Build the jitted Adam phase.
+    """Build the Adam phase: jitted scan chunks + jitted tail while_loop.
 
     :param loss_fn: ``(params, data, lw, ref) -> (loss_n, loss_info)``.
     :param sample_fn: ``(key, F) -> data`` (jittable, static shapes).
     :param density_fn: ``params -> F`` adaptive-density refresh (predictF
         equivalent), or None to keep the density fixed.
-    :param log_fn: optional host callback ``(step, loss_info)`` streamed via
-        jax.debug.callback every ``log_every`` steps (the reference's
-        per-100-step stderr lines, software.py:416-419).
+    :param log_fn: optional host logger ``(step, loss_info_row)``.  Without
+        it the whole epoch loop is ONE device computation; with it the loop
+        runs in chunks of ``10*log_every`` steps and the per-100-step lines
+        (the reference's stderr format, software.py:416-419) are replayed
+        from each chunk's history on the host — no in-graph callbacks,
+        which some TPU runtimes (axon PJRT) do not support.
     :returns: ``phase(key, params, data, F, lw, ref)`` -> AdamPhaseResult.
     """
 
@@ -108,23 +111,13 @@ def make_adam_phase(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_info
 
-    def phase(key, params, data, F, lw, ref) -> AdamPhaseResult:
-        opt_state = opt.init(params)
-        f_dtype = jnp.asarray(0.0, dtype=jnp.result_type(ref)).dtype
-        ring0 = jnp.zeros((ring_n,), f_dtype)
-
+    def body_for(lw, ref):
         def body(carry, step):
             params, opt_state, data, F, key, ring = carry
-            params, opt_state, loss_info = step_update(params, opt_state, data, lw, ref)
+            params, opt_state, loss_info = step_update(
+                params, opt_state, data, lw, ref
+            )
             ring = ring.at[step % ring_n].set(loss_info[0])
-
-            if log_fn is not None:
-                def _log():
-                    jax.debug.callback(log_fn, step, loss_info, ordered=False)
-                jax.lax.cond(
-                    (step % config.log_every == 0) & (step > 0),
-                    _log, lambda: None,
-                )
 
             # resample every `resample_every` steps (after the update, as in
             # the reference loop ordering)
@@ -172,45 +165,83 @@ def make_adam_phase(
 
             return (params, opt_state, data, F, key, ring), loss_info
 
-        (params, opt_state, data, F, key, ring), hist_scan = jax.lax.scan(
-            body,
-            (params, opt_state, data, F, key, ring0),
-            jnp.arange(config.epochs),
-        )
+        return body
 
-        # ----- tail loop: force last loss below the recent-window minimum
-        if config.tail_max == 0:
-            history = hist_scan
-            n_valid = jnp.int32(config.epochs)
-            lr = opt_state.hyperparams["learning_rate"]
-            return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def run_chunk(state, lw, ref, start, n_steps: int):
+        steps = start + jnp.arange(n_steps)
+        return jax.lax.scan(body_for(lw, ref), state, steps)
 
-        lmin = jnp.min(hist_scan[-tail_window:, 0])
-        llast = hist_scan[-1, 0]
-        tail_buf = jnp.zeros((config.tail_max, info_width), hist_scan.dtype)
+    @jax.jit
+    def run_tail(state, lw, ref, lmin, llast):
+        params, opt_state, data, F, key, ring = state
+        tail_buf = jnp.zeros((config.tail_max, info_width),
+                             jnp.result_type(lmin))
 
-        def tail_cond(state):
-            params, opt_state, llast, i, tail_buf = state
+        def tail_cond(s):
+            params, opt_state, llast, i, tail_buf = s
             return (llast >= lmin) & (i < config.tail_max)
 
-        def tail_body(state):
-            params, opt_state, llast, i, tail_buf = state
-            params, opt_state, loss_info = step_update(params, opt_state, data, lw, ref)
+        def tail_body(s):
+            params, opt_state, llast, i, tail_buf = s
+            params, opt_state, loss_info = step_update(
+                params, opt_state, data, lw, ref
+            )
             tail_buf = jax.lax.dynamic_update_slice(
                 tail_buf, loss_info[None, :], (i, 0)
             )
             return params, opt_state, loss_info[0], i + 1, tail_buf
 
         params, opt_state, llast, n_tail, tail_buf = jax.lax.while_loop(
-            tail_cond, tail_body, (params, opt_state, llast, jnp.int32(0), tail_buf)
+            tail_cond, tail_body,
+            (params, opt_state, llast, jnp.int32(0), tail_buf),
         )
+        return (params, opt_state, data, F, key, ring), tail_buf, n_tail
 
+    def phase(key, params, data, F, lw, ref) -> AdamPhaseResult:
+        import numpy as _np
+
+        opt_state = opt.init(params)
+        f_dtype = jnp.asarray(0.0, dtype=jnp.result_type(ref)).dtype
+        ring0 = jnp.zeros((ring_n,), f_dtype)
+        state = (params, opt_state, data, F, key, ring0)
+
+        chunk = config.epochs if log_fn is None else max(
+            config.log_every * 10, 1
+        )
+        chunks = []
+        done = 0
+        while done < config.epochs:
+            n = min(chunk, config.epochs - done)
+            state, hist = run_chunk(state, lw, ref, jnp.int32(done), n)
+            if log_fn is not None:
+                rows = _np.asarray(hist)
+                for k in range(n):
+                    step = done + k
+                    if step > 0 and step % config.log_every == 0:
+                        log_fn(step, rows[k])
+            chunks.append(hist)
+            done += n
+        hist_scan = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
+            else chunks[0]
+
+        params, opt_state, data, F, key, ring = state
+        lr = opt_state.hyperparams["learning_rate"]
+
+        if config.tail_max == 0:
+            return AdamPhaseResult(params, hist_scan, jnp.int32(config.epochs),
+                                   F, data, key, lr)
+
+        lmin = jnp.min(hist_scan[-tail_window:, 0])
+        llast = hist_scan[-1, 0]
+        state, tail_buf, n_tail = run_tail(state, lw, ref, lmin, llast)
+        params, opt_state, data, F, key, ring = state
+        lr = opt_state.hyperparams["learning_rate"]
         history = jnp.concatenate([hist_scan, tail_buf], axis=0)
         n_valid = jnp.int32(config.epochs) + n_tail
-        lr = opt_state.hyperparams["learning_rate"]
         return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
 
-    return jax.jit(phase)
+    return phase
 
 
 # ===========================================================================
