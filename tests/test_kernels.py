@@ -62,3 +62,40 @@ def test_residual_kernel_fn():
     f_ref = compiled.residual_fast(predictor, params, z)
     np.testing.assert_allclose(np.asarray(f_kernel), np.asarray(f_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_adam_kernel_matches_optax():
+    import optax
+    from tpinn.kernels import adam as adam_k
+
+    n = 1000
+    key = jax.random.PRNGKey(0)
+    params = jax.random.normal(key, (n,))
+    grads = jax.random.normal(jax.random.PRNGKey(1), (n,))
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+
+    p, m, v = params, jnp.zeros(n), jnp.zeros(n)
+    p_ox = params
+    for step in range(1, 4):
+        g = grads * step
+        updates, state = opt.update(g, state)
+        p_ox = optax.apply_updates(p_ox, updates)
+        p, m, v = adam_k.adam_update_flat(g, p, m, v, 1e-3, step,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ox),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_adam_kernel_partial_block():
+    from tpinn.kernels import adam as adam_k
+
+    n = 777
+    g = jnp.ones(n) * 0.1
+    p, m, v = jnp.zeros(n), jnp.zeros(n), jnp.zeros(n)
+    p2, m2, v2 = adam_k.adam_update_flat(g, p, m, v, 0.01, 1, block=256,
+                                         interpret=True)
+    assert p2.shape == (n,)
+    # every coordinate identical update
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p2)[0], rtol=1e-6)
+    assert float(p2[0]) < 0

@@ -126,3 +126,24 @@ def test_reference_schema_entry(tmp_path):
     )
     assert (tmp_path / "loss_2.npz").exists()
     assert res.rel_l2 is not None
+
+
+def test_resume_skips_trained_stages(tmp_path):
+    """A finished stage's checkpoint is reloaded; its training is skipped
+    and the final predictor is identical."""
+    problem = problems.poisson_1d()
+    spec = dataclasses.replace(_quick_spec(adam=120, lbfgs=45),
+                               testing_size=(64,))
+    res1 = train.run_training(problem, spec, output_dir=str(tmp_path))
+    import time
+    t0 = time.perf_counter()
+    res2 = train.run_training(problem, spec, output_dir=str(tmp_path),
+                              resume=True)
+    resumed_secs = time.perf_counter() - t0
+    # same params -> same prediction
+    z = jnp.linspace(0.1, 0.9, 17)[:, None]
+    np.testing.assert_allclose(np.asarray(res1.predict(z)),
+                               np.asarray(res2.predict(z)), rtol=1e-6)
+    # resumed run trains nothing
+    assert res2.history.shape[0] == 0
+    assert res2.rel_l2 == pytest.approx(res1.rel_l2, rel=1e-5)

@@ -214,9 +214,16 @@ def run_training(
     output_dir: Optional[str] = None,
     log_fn: Optional[Callable] = None,
     print_log: bool = False,
+    resume: bool = False,
 ) -> TrainResult:
     """Run the multi-stage pipeline.  Writes the reference's 11-artifact
-    contract into ``output_dir`` when given."""
+    contract into ``output_dir`` when given.
+
+    ``resume=True`` reloads any per-stage checkpoint already present in
+    ``output_dir`` (params_stage_N.npz) and skips that stage's training —
+    an interrupted multi-stage run continues from the last finished stage.
+    (The reference has no checkpointing at all: params die with its
+    training thread, SURVEY §5.)"""
     if not spec.stages:
         spec = spec.with_default_stages()
     dtype = jnp.dtype(spec.dtype)
@@ -333,48 +340,71 @@ def run_training(
                 limit=limit,
             )
 
-        # --- normalization reference = loss at init (software.py:738-739)
-        ref = jax.jit(loss_fn)(params, data0, stage_lw, jnp.asarray(1.0, dtype))[1][0]
-        log(f"stage {stage_no}: initial loss {float(ref):.4e}")
+        # --- resume: reload a finished stage's checkpoint and skip training
+        resumed = False
+        ckpt_path = out / f"params_stage_{stage_no}.npz" if out else None
+        if resume and ckpt_path is not None and ckpt_path.exists():
+            from tpinn.utils.checkpoint import load_pytree
 
-        # --- Adam phase (single XLA computation)
-        adam_cfg = optim.AdamConfig(
-            epochs=st.adam_epochs, lr=spec.lr, resample_every=spec.resample_every,
-            density_every=spec.density_every, plateau_every=spec.plateau_every,
-            tail_max=spec.tail_max, log_every=spec.log_every,
-        )
-        adam_log = None
-        if log_fn is not None or print_log:
-            from tpinn.utils.logging import format_step_line
+            try:
+                loaded, meta = load_pytree(ckpt_path, params)
+                if meta.get("problem") == problem.name:
+                    params = loaded
+                    resumed = True
+                    log(f"stage {stage_no}: resumed from {ckpt_path.name}")
+            except Exception as e:
+                log(f"stage {stage_no}: checkpoint unusable ({e}); retraining")
 
-            def adam_log(step, loss_info):  # noqa: F811
-                log(format_step_line(int(step), np.asarray(loss_info)))
+        if not resumed:
+            # --- normalization reference = loss at init (software.py:738-739)
+            ref = jax.jit(loss_fn)(
+                params, data0, stage_lw, jnp.asarray(1.0, dtype)
+            )[1][0]
+            log(f"stage {stage_no}: initial loss {float(ref):.4e}")
 
-        phase = optim.make_adam_phase(
-            loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
-        )
-        res = phase(key_adam, params, data0, F0, stage_lw, ref)
-        params = res.params
-        n_adam = int(res.n_valid)
-        hist_adam = np.asarray(res.history)[:n_adam]
-        log(f"stage {stage_no}: Adam done ({n_adam} steps, "
-            f"final loss {hist_adam[-1, 0]:.4e}, lr {float(res.lr):.2e})")
+            # --- Adam phase (single XLA computation)
+            adam_cfg = optim.AdamConfig(
+                epochs=st.adam_epochs, lr=spec.lr,
+                resample_every=spec.resample_every,
+                density_every=spec.density_every,
+                plateau_every=spec.plateau_every,
+                tail_max=spec.tail_max, log_every=spec.log_every,
+            )
+            adam_log = None
+            if log_fn is not None or print_log:
+                from tpinn.utils.logging import format_step_line
 
-        # --- density refresh + fresh data for L-BFGS (software.py:748-749)
-        Fs = jax.jit(density_fn)(params)
-        data_lbfgs = sample_fn(key_lbfgs, Fs)
+                def adam_log(step, loss_info):  # noqa: F811
+                    log(format_step_line(int(step), np.asarray(loss_info)))
 
-        # --- pure-XLA L-BFGS (max_iters = epochs/3, as TFP was driven,
-        #     software.py:504-508)
-        lbfgs_cfg = optim.LBFGSConfig(
-            max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
-        )
-        params, hist_lbfgs_full, n_lbfgs = optim.lbfgs_over_pytree(
-            loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
-        )
-        hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_lbfgs) + 1]
-        log(f"stage {stage_no}: L-BFGS done ({int(n_lbfgs)} iterations, "
-            f"final loss {hist_lbfgs[-1, 0]:.4e})")
+            phase = optim.make_adam_phase(
+                loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
+            )
+            res = phase(key_adam, params, data0, F0, stage_lw, ref)
+            params = res.params
+            n_adam = int(res.n_valid)
+            hist_adam = np.asarray(res.history)[:n_adam]
+            log(f"stage {stage_no}: Adam done ({n_adam} steps, "
+                f"final loss {hist_adam[-1, 0]:.4e}, lr {float(res.lr):.2e})")
+
+            # --- density refresh + fresh data for L-BFGS (software.py:748-749)
+            Fs = jax.jit(density_fn)(params)
+            data_lbfgs = sample_fn(key_lbfgs, Fs)
+
+            # --- pure-XLA L-BFGS (max_iters = epochs/3, as TFP was driven,
+            #     software.py:504-508)
+            lbfgs_cfg = optim.LBFGSConfig(
+                max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
+            )
+            params, hist_lbfgs_full, n_lbfgs = optim.lbfgs_over_pytree(
+                loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
+            )
+            hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_lbfgs) + 1]
+            log(f"stage {stage_no}: L-BFGS done ({int(n_lbfgs)} iterations, "
+                f"final loss {hist_lbfgs[-1, 0]:.4e})")
+        else:
+            hist_adam = np.zeros((0, info_width), np.float64)
+            hist_lbfgs = np.zeros((0, info_width), np.float64)
 
         # --- evaluation + diagnostics
         frozen = _freeze(predictor, params)
@@ -407,7 +437,7 @@ def run_training(
         histories.append(hist_stage)
         hist_cum = np.concatenate(histories, axis=0)
 
-        if out:
+        if out and not resumed:
             _write_stage_artifacts(
                 out, stage_no, problem, spec, axes, U, F,
                 exact_star, hist_stage if stage_no == 1 else hist_cum,
