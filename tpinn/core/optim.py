@@ -317,7 +317,7 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
 
     def bracket_body(s):
         (mode, i, a_prev, phi_prev, dphi_prev, a_cur,
-         a_lo, a_hi, phi_lo, dphi_lo,
+         a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
          a_acc, f_acc, g_acc, info_acc) = s
         fa, dfa, ga, info = phi(a_cur)
         first = i == 0
@@ -331,6 +331,7 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         phi_lo_n = jnp.where(armijo_fail, phi_prev, fa)
         dphi_lo_n = jnp.where(armijo_fail, dphi_prev, dfa)
         a_hi_n = jnp.where(armijo_fail, a_cur, a_prev)
+        phi_hi_n = jnp.where(armijo_fail, fa, phi_prev)
         keep_bracketing = new_mode == 0
         new_mode = jnp.where(keep_bracketing & (i + 1 >= cfg.max_bracket), 3, new_mode)
         acc = new_mode == 2
@@ -340,6 +341,7 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
             jnp.where(new_mode == 1, a_hi_n, a_hi),
             jnp.where(new_mode == 1, phi_lo_n, phi_lo),
             jnp.where(new_mode == 1, dphi_lo_n, dphi_lo),
+            jnp.where(new_mode == 1, phi_hi_n, phi_hi),
             jnp.where(acc, a_cur, a_acc),
             jnp.where(acc, fa, f_acc),
             jnp.where(acc, ga, g_acc),
@@ -348,10 +350,10 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
 
     s0 = (
         jnp.int32(0), jnp.int32(0), zero, f0, dphi0, jnp.asarray(alpha0, f0.dtype),
-        zero, jnp.asarray(alpha0, f0.dtype), f0, dphi0,
+        zero, jnp.asarray(alpha0, f0.dtype), f0, dphi0, f0,
         zero, f0, g0, info0,
     )
-    (mode, _, _, _, _, _, a_lo, a_hi, phi_lo, dphi_lo,
+    (mode, _, _, _, _, _, a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
      a_acc, f_acc, g_acc, info_acc) = jax.lax.while_loop(
         bracket_cond, bracket_body, s0
     )
@@ -361,9 +363,18 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         return s[0] == 1
 
     def zoom_body(s):
-        (mode, j, a_lo, a_hi, phi_lo, dphi_lo,
+        (mode, j, a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
          a_acc, f_acc, g_acc, info_acc) = s
-        a_j = 0.5 * (a_lo + a_hi)
+        # quadratic-interpolation trial through (a_lo, phi_lo, dphi_lo) and
+        # (a_hi, phi_hi), safeguarded to the middle 80% of the interval;
+        # bisection fallback (TFP's zoom uses the same safeguarded
+        # polynomial strategy)
+        span = a_hi - a_lo
+        denom = phi_hi - phi_lo - dphi_lo * span
+        a_q = a_lo - 0.5 * dphi_lo * span * span / denom
+        t = (a_q - a_lo) / jnp.where(span == 0.0, 1.0, span)
+        good = jnp.isfinite(a_q) & (t > 0.1) & (t < 0.9) & (denom != 0.0)
+        a_j = jnp.where(good, a_q, 0.5 * (a_lo + a_hi))
         fa, dfa, ga, info = phi(a_j)
         hi_update = (fa > f0 + c1 * a_j * dphi0) | (fa >= phi_lo)
         curv_ok = jnp.abs(dfa) <= -c2 * dphi0
@@ -371,6 +382,7 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         # standard zoom bookkeeping
         flip = ~hi_update & ~curv_ok & (dfa * (a_hi - a_lo) >= 0.0)
         new_a_hi = jnp.where(hi_update, a_j, jnp.where(flip, a_lo, a_hi))
+        new_phi_hi = jnp.where(hi_update, fa, jnp.where(flip, phi_lo, phi_hi))
         new_a_lo = jnp.where(hi_update, a_lo, a_j)
         new_phi_lo = jnp.where(hi_update, phi_lo, fa)
         new_dphi_lo = jnp.where(hi_update, dphi_lo, dfa)
@@ -378,15 +390,16 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         new_mode = jnp.where(accept, 2, jnp.where(exhausted, 3, 1))
         return (
             new_mode, j + 1, new_a_lo, new_a_hi, new_phi_lo, new_dphi_lo,
+            new_phi_hi,
             jnp.where(accept, a_j, a_acc),
             jnp.where(accept, fa, f_acc),
             jnp.where(accept, ga, g_acc),
             jnp.where(accept, info, info_acc),
         )
 
-    z0 = (mode, jnp.int32(0), a_lo, a_hi, phi_lo, dphi_lo,
+    z0 = (mode, jnp.int32(0), a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
           a_acc, f_acc, g_acc, info_acc)
-    (mode, _, a_lo, a_hi, phi_lo, dphi_lo,
+    (mode, _, a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
      a_acc, f_acc, g_acc, info_acc) = jax.lax.while_loop(zoom_cond, zoom_body, z0)
 
     ok = mode == 2
