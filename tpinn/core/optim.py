@@ -266,6 +266,7 @@ class LBFGSResult(NamedTuple):
     g: Array
     history: Array      # [max_iters + 1, k] loss_info per accepted iterate
     n_iters: Array
+    n_rows: Array       # accepted-iterate rows written to history (incl. row 0)
     converged: Array
     failed: Array
 
@@ -439,6 +440,7 @@ def lbfgs_minimize(
         "head": jnp.int32(0),
         "gamma": jnp.ones((), dtype),
         "it": jnp.int32(0),
+        "rows": jnp.int32(1),
         "done": jnp.zeros((), jnp.bool_),
         "failed": jnp.zeros((), jnp.bool_),
         "hist": hist,
@@ -479,11 +481,16 @@ def lbfgs_minimize(
         gamma = jnp.where(store, sy / jnp.maximum(jnp.dot(yk, yk), 1e-30), s["gamma"])
 
         it = s["it"] + 1
+        # history rows are indexed by ACCEPTED iterates so a failing final
+        # line search never leaves a zero row at the end
         hist = jnp.where(
             ok,
-            jax.lax.dynamic_update_slice(s["hist"], info_new[None, :], (it, 0)),
+            jax.lax.dynamic_update_slice(
+                s["hist"], info_new[None, :], (s["rows"], 0)
+            ),
             s["hist"],
         )
+        rows = jnp.where(ok, s["rows"] + 1, s["rows"])
         converged = jnp.max(jnp.abs(g_new)) <= config.tolerance
         return {
             "x": jnp.where(ok, x_new, s["x"]),
@@ -497,6 +504,7 @@ def lbfgs_minimize(
             "head": head_new,
             "gamma": gamma,
             "it": it,
+            "rows": rows,
             "done": (~ok) | converged,
             "failed": ~ok,
             "hist": hist,
@@ -506,7 +514,8 @@ def lbfgs_minimize(
     converged = jnp.max(jnp.abs(s["g"])) <= config.tolerance
     return LBFGSResult(
         x=s["x"], f=s["f"], g=s["g"], history=s["hist"],
-        n_iters=s["it"], converged=converged, failed=s["failed"],
+        n_iters=s["it"], n_rows=s["rows"], converged=converged,
+        failed=s["failed"],
     )
 
 
@@ -521,7 +530,8 @@ def lbfgs_over_pytree(
     """Run pure-XLA L-BFGS on a parameter pytree (ravel/unravel wrapper).
 
     Mirrors the reference's flatten→optimize→unflatten flow
-    (software.py:463-514) without TFP.  Returns (params, history, n_iters).
+    (software.py:463-514) without TFP.  Returns
+    (params, history, n_rows) with history[:n_rows] the valid loss rows.
     """
     flat0, unravel = jax.flatten_util.ravel_pytree(params)
 
@@ -534,4 +544,4 @@ def lbfgs_over_pytree(
         return loss_n, gflat, info
 
     result = jax.jit(lambda x: lbfgs_minimize(vg, x, config))(flat0)
-    return unravel(result.x), result.history, result.n_iters
+    return unravel(result.x), result.history, result.n_rows

@@ -396,12 +396,12 @@ def run_training(
             lbfgs_cfg = optim.LBFGSConfig(
                 max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
             )
-            params, hist_lbfgs_full, n_lbfgs = optim.lbfgs_over_pytree(
+            params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
                 loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
             )
-            hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_lbfgs) + 1]
-            log(f"stage {stage_no}: L-BFGS done ({int(n_lbfgs)} iterations, "
-                f"final loss {hist_lbfgs[-1, 0]:.4e})")
+            hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_rows)]
+            log(f"stage {stage_no}: L-BFGS done ({int(n_rows) - 1} accepted "
+                f"iterations, final loss {hist_lbfgs[-1, 0]:.4e})")
         else:
             hist_adam = np.zeros((0, info_width), np.float64)
             hist_lbfgs = np.zeros((0, info_width), np.float64)
