@@ -16,15 +16,63 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+ALL_PRESETS = ["annulus_laplace", "poisson_1d", "burgers_1d", "poisson_2d",
+               "heat_2d", "helmholtz_2d"]
+
+
+def parent_main(args):
+    """Run each preset in its own subprocess (the tunneled TPU compiler can
+    crash the process outright — observed SIGILL in TpuPriorityFusionQueue
+    on the Burgers graph); fall back to CPU for presets whose TPU compile
+    dies."""
+    import subprocess
+
+    names = args.only.split(",") if args.only else ALL_PRESETS
+    results = []
+    for name in names:
+        for platform in (None, "cpu"):
+            cmd = [sys.executable, __file__, "--child", "--only", name,
+                   "--out", f"/tmp/conv_{name}.json"]
+            if args.quick:
+                cmd.append("--quick")
+            if platform:
+                cmd += ["--platform", platform]
+            print(f"--- {name} ({platform or 'default'}) ---",
+                  file=sys.stderr, flush=True)
+            proc = subprocess.run(cmd, timeout=7200)
+            if proc.returncode == 0:
+                rec = json.loads(Path(f"/tmp/conv_{name}.json").read_text())[0]
+                if platform:
+                    rec["note"] = "TPU compile crashed; measured on CPU"
+                results.append(rec)
+                break
+        else:
+            results.append({"problem": name,
+                            "error": "failed on both TPU and CPU"})
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}", file=sys.stderr)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true", help="tiny budgets (smoke)")
     p.add_argument("--out", default="out/convergence.json")
     p.add_argument("--only", default=None, help="comma-separated preset names")
+    p.add_argument("--child", action="store_true",
+                   help="run in-process (internal)")
+    p.add_argument("--platform", default=None)
     args = p.parse_args()
+
+    if not args.child:
+        parent_main(args)
+        return
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update(
         "jax_compilation_cache_dir",
         str(Path(__file__).resolve().parent.parent / ".jax_cache"),
