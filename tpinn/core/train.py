@@ -396,9 +396,27 @@ def run_training(
             lbfgs_cfg = optim.LBFGSConfig(
                 max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
             )
-            params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
-                loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
-            )
+            try:
+                params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
+                    loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
+                )
+            except jax.errors.JaxRuntimeError as e:
+                # Observed on the tunneled v5e: the TPU compiler's fusion
+                # pass SIGILLs on some L-BFGS graphs (burgers/poisson_2d).
+                # Degrade gracefully: run this (cheap, few-hundred-iteration)
+                # phase on the host CPU and continue on-device afterwards.
+                log(f"stage {stage_no}: L-BFGS TPU compile failed "
+                    f"({str(e).splitlines()[0][:100]}); retrying on CPU")
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    params_cpu = jax.device_put(params, cpu)
+                    data_cpu = jax.device_put(data_lbfgs, cpu)
+                    params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
+                        loss_fn, params_cpu, data_cpu,
+                        jax.device_put(stage_lw, cpu),
+                        jax.device_put(ref, cpu), lbfgs_cfg,
+                    )
+                params = jax.device_put(params, jax.devices()[0])
             hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_rows)]
             log(f"stage {stage_no}: L-BFGS done ({int(n_rows) - 1} accepted "
                 f"iterations, final loss {hist_lbfgs[-1, 0]:.4e})")
