@@ -188,7 +188,7 @@ def make_adam_phase(
                 params, opt_state, data, lw, ref
             )
             tail_buf = jax.lax.dynamic_update_slice(
-                tail_buf, loss_info[None, :], (i, 0)
+                tail_buf, loss_info[None, :], (i, jnp.int32(0))
             )
             return params, opt_state, loss_info[0], i + 1, tail_buf
 
@@ -325,8 +325,10 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         armijo_fail = (fa > f0 + c1 * a_cur * dphi0) | ((fa >= phi_prev) & ~first)
         curv_ok = jnp.abs(dfa) <= -c2 * dphi0
         pos_slope = dfa >= 0.0
+        one, two = jnp.int32(1), jnp.int32(2)
         new_mode = jnp.where(
-            armijo_fail, 1, jnp.where(curv_ok, 2, jnp.where(pos_slope, 1, 0))
+            armijo_fail, one,
+            jnp.where(curv_ok, two, jnp.where(pos_slope, one, jnp.int32(0))),
         )
         a_lo_n = jnp.where(armijo_fail, a_prev, a_cur)
         phi_lo_n = jnp.where(armijo_fail, phi_prev, fa)
@@ -334,7 +336,8 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         a_hi_n = jnp.where(armijo_fail, a_cur, a_prev)
         phi_hi_n = jnp.where(armijo_fail, fa, phi_prev)
         keep_bracketing = new_mode == 0
-        new_mode = jnp.where(keep_bracketing & (i + 1 >= cfg.max_bracket), 3, new_mode)
+        new_mode = jnp.where(keep_bracketing & (i + 1 >= cfg.max_bracket),
+                             jnp.int32(3), new_mode)
         acc = new_mode == 2
         return (
             new_mode, i + 1, a_cur, fa, dfa, 2.0 * a_cur,
@@ -388,7 +391,8 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         new_phi_lo = jnp.where(hi_update, phi_lo, fa)
         new_dphi_lo = jnp.where(hi_update, dphi_lo, dfa)
         exhausted = j + 1 >= cfg.max_linesearch
-        new_mode = jnp.where(accept, 2, jnp.where(exhausted, 3, 1))
+        new_mode = jnp.where(accept, jnp.int32(2),
+                             jnp.where(exhausted, jnp.int32(3), jnp.int32(1)))
         return (
             new_mode, j + 1, new_a_lo, new_a_hi, new_phi_lo, new_dphi_lo,
             new_phi_hi,
@@ -486,7 +490,7 @@ def lbfgs_minimize(
         hist = jnp.where(
             ok,
             jax.lax.dynamic_update_slice(
-                s["hist"], info_new[None, :], (s["rows"], 0)
+                s["hist"], info_new[None, :], (s["rows"], jnp.int32(0))
             ),
             s["hist"],
         )

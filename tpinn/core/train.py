@@ -112,6 +112,13 @@ class TrainSpec:
     density_every: int = 2000
     plateau_every: int = 4000
     tail_max: int = 4000
+    # Optional dtype override for the L-BFGS phase only.  "float64" runs the
+    # quasi-Newton polish in double precision (enables jax x64 globally):
+    # Adam explores in fast f32 on the accelerator, then L-BFGS descends
+    # below the f32 gradient-noise floor — the reference runs everything in
+    # f64 (software.py:18) and owes its tight convergence to the L-BFGS
+    # phase.
+    lbfgs_dtype: Optional[str] = None
 
     def with_default_stages(self, depth=6, width=50, adam=1000, lbfgs=1000):
         """Reference-like two stages: user net then 6×50 sin correction
@@ -396,9 +403,28 @@ def run_training(
             lbfgs_cfg = optim.LBFGSConfig(
                 max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
             )
+
+            lbfgs_dtype = dtype
+            if spec.lbfgs_dtype is not None:
+                lbfgs_dtype = jnp.dtype(spec.lbfgs_dtype)
+                if lbfgs_dtype == jnp.float64:
+                    jax.config.update("jax_enable_x64", True)
+            if lbfgs_dtype != dtype:
+                cast = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(lbfgs_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+                )
+                params = cast(params)
+                data_lbfgs = cast(data_lbfgs)
+                stage_lw_l = jnp.asarray(stage_lw, lbfgs_dtype)
+                ref_l = jnp.asarray(ref, lbfgs_dtype)
+                log(f"stage {stage_no}: L-BFGS polish in {lbfgs_dtype}")
+            else:
+                stage_lw_l, ref_l = stage_lw, ref
+
             try:
                 params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
-                    loss_fn, params, data_lbfgs, stage_lw, ref, lbfgs_cfg
+                    loss_fn, params, data_lbfgs, stage_lw_l, ref_l, lbfgs_cfg
                 )
             except jax.errors.JaxRuntimeError as e:
                 # Observed on the tunneled v5e: the TPU compiler's fusion
@@ -413,8 +439,8 @@ def run_training(
                     data_cpu = jax.device_put(data_lbfgs, cpu)
                     params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
                         loss_fn, params_cpu, data_cpu,
-                        jax.device_put(stage_lw, cpu),
-                        jax.device_put(ref, cpu), lbfgs_cfg,
+                        jax.device_put(stage_lw_l, cpu),
+                        jax.device_put(ref_l, cpu), lbfgs_cfg,
                     )
                 params = jax.device_put(params, jax.devices()[0])
             hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_rows)]
