@@ -14,7 +14,7 @@ SCRIPT = r"""
 import json, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
-sys.path.insert(0, {root!r})
+sys.path.insert(0, __ROOT__)
 import dataclasses
 from tpinn import problems
 from tpinn.core import train
@@ -38,7 +38,7 @@ print(json.dumps({"rel_l2": res.rel_l2, "dtype": str(leaf.dtype)}))
 @pytest.mark.slow
 def test_f64_polish_subprocess():
     out = subprocess.run(
-        [sys.executable, "-c", SCRIPT.format(root=str(ROOT))],
+        [sys.executable, "-c", SCRIPT.replace("__ROOT__", repr(str(ROOT)))],
         capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
