@@ -1,0 +1,118 @@
+"""Command-line interface: train presets, run benchmarks, launch the app.
+
+    python -m tpinn train --problem poisson_2d --adam 8000 --lbfgs 3000 \
+        --out out/poisson2d [--stages 2] [--f64-polish] [--resume]
+    python -m tpinn problems            # list presets
+    python -m tpinn app [--port 8050]   # the online PDE calculator
+    python -m tpinn serve --checkpoint out/params_stage_1.npz \
+        --problem poisson_2d
+
+(The reference's only entries are the Dash dev server and a __main__ demo;
+a production framework needs a scriptable front door.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_problems(args):
+    from tpinn import problems
+
+    for name in sorted(problems.PRESETS):
+        p = problems.PRESETS[name]()
+        print(f"{name:18s} {p.equation}   coords={p.coords} "
+              f"domain={list(zip(p.lb, p.ub))}")
+
+
+def cmd_train(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from tpinn import problems
+    from tpinn.core import train
+    from tpinn.core.train import StageSpec, TrainSpec
+
+    problem = problems.get_problem(args.problem)
+    stages = [StageSpec(depth=args.depth, width=args.width, scl=1.0,
+                        epsil=1.0, adam_epochs=args.adam,
+                        lbfgs_epochs=args.lbfgs)]
+    if args.stages == 2:
+        stages.append(StageSpec(depth=6, width=50, act_first="sin",
+                                adam_epochs=3 * args.adam,
+                                lbfgs_epochs=3 * args.lbfgs,
+                                sample_scale=2.0))
+    spec = TrainSpec(
+        n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
+        n_bd=args.n_bd, lw=(args.weight_f, args.weight_df),
+        stages=tuple(stages), seed=args.seed,
+        lbfgs_dtype="float64" if args.f64_polish else None,
+    )
+    res = train.run_training(problem, spec, output_dir=args.out,
+                             print_log=True, resume=args.resume)
+    print(json.dumps({
+        "problem": args.problem,
+        "rel_l2": res.rel_l2,
+        "final_loss": float(res.history[-1, 0]) if len(res.history) else None,
+        "steps": int(res.history.shape[0]),
+    }))
+
+
+def cmd_app(args):
+    from tpinn.app import lite
+
+    lite.serve(port=args.port, data_root=args.data_root)
+
+
+def cmd_serve(args):
+    from tpinn.app import serve as serve_mod
+
+    sys.argv = ["serve", "--checkpoint", args.checkpoint,
+                "--problem", args.problem, "--port", str(args.port)]
+    serve_mod.main()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpinn")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("problems", help="list problem presets")
+
+    t = sub.add_parser("train", help="train a preset")
+    t.add_argument("--problem", required=True)
+    t.add_argument("--adam", type=int, default=8000)
+    t.add_argument("--lbfgs", type=int, default=3000)
+    t.add_argument("--depth", type=int, default=6)
+    t.add_argument("--width", type=int, default=50)
+    t.add_argument("--stages", type=int, default=1, choices=(1, 2))
+    t.add_argument("--n-col", type=int, default=3000)
+    t.add_argument("--n-band", type=int, default=500)
+    t.add_argument("--n-adaptive", type=int, default=1000)
+    t.add_argument("--n-bd", type=int, default=100)
+    t.add_argument("--weight-f", type=float, default=1.0)
+    t.add_argument("--weight-df", type=float, default=0.0)
+    t.add_argument("--seed", type=int, default=1234)
+    t.add_argument("--out", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--f64-polish", action="store_true")
+    t.add_argument("--platform", default=None)
+
+    a = sub.add_parser("app", help="launch the web calculator")
+    a.add_argument("--port", type=int, default=8050)
+    a.add_argument("--data-root", default="data")
+
+    s = sub.add_parser("serve", help="serve a trained checkpoint")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--problem", required=True)
+    s.add_argument("--port", type=int, default=8060)
+
+    args = p.parse_args(argv)
+    {"problems": cmd_problems, "train": cmd_train, "app": cmd_app,
+     "serve": cmd_serve}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
