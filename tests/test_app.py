@@ -200,3 +200,44 @@ def test_cartesian_equation_through_ui_schema(tmp_path):
     # but solution/loss artifacts exist
     assert (tmp_path / sid / "solution_residual_2.npz").exists()
     assert not (tmp_path / sid / "error_1.npz").exists()
+
+
+def test_preset_payloads():
+    from tpinn.app.presets import preset_names, preset_payload
+    names = preset_names()
+    assert "heat_2d" in names and len(names) == 6
+    p = preset_payload("heat_2d")
+    assert p["equation"] == "u_t - u_xx"
+    assert p["bcs"][0]["u"] == "sin(pi*x)"      # expression-valued IC
+    p = preset_payload("burgers_1d")
+    assert " = " in p["equation"]               # source folded via lhs=rhs
+    p = preset_payload("poisson_1d")
+    assert p["domain"]["y_min"] == 0.0          # 1-D lifted to (x, t)
+
+
+def test_expression_bc_through_ui_schema(tmp_path):
+    """heat equation with sin(pi*x) initial condition typed into the u box."""
+    mgr = SessionManager(str(tmp_path))
+    sid = mgr.new_session_id()
+    req = _tiny_request(
+        equation="u_t - u_xx",
+        boundary={
+            "bd_x1_min": 0, "bd_x1_max": 1, "bd_y1_min": 0, "bd_y1_max": 0,
+            "bd_u1": "sin(pi*x)",
+            "bd_x2_min": 0, "bd_x2_max": 0, "bd_y2_min": 0, "bd_y2_max": 1,
+            "bd_u2": 0,
+            "bd_x3_min": 1, "bd_x3_max": 1, "bd_y3_min": 0, "bd_y3_max": 1,
+            "bd_u3": 0,
+        },
+        domain={"x_min": 0, "x_max": 1, "y_min": 0, "y_max": 1},
+    )
+    assert req.validate() is None
+    # bad expression rejected
+    bad = _tiny_request(boundary={**req.boundary, "bd_u1": "sin(pi*u)"})
+    assert "must not reference u" in bad.validate()
+
+    err = mgr.start(sid, req)
+    assert err is None
+    mgr.get(sid).thread.join(timeout=600)
+    st = mgr.status(sid)
+    assert st["status"] == "done", (st["error"], st["log"][-800:])

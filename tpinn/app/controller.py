@@ -56,8 +56,21 @@ class TrainingRequest:
                 return "at least one boundary-condition group is required"
             for i in range(1, n_groups + 1):
                 for k in (f"bd_x{i}_min", f"bd_x{i}_max", f"bd_y{i}_min",
-                          f"bd_y{i}_max", f"bd_u{i}"):
+                          f"bd_y{i}_max"):
                     float(self.boundary[k])
+                u_val = self.boundary[f"bd_u{i}"]
+                try:
+                    float(u_val)
+                except (TypeError, ValueError):
+                    # boundary value may be a coordinate expression
+                    try:
+                        ast = pde.parse(str(u_val), coords=("r", "t", "x", "y"))
+                        if pde.collect_indices(ast):
+                            return (f"bd_u{i} expression must not reference "
+                                    f"u: {u_val!r}")
+                    except pde.PDESyntaxError:
+                        return (f"bd_u{i} is neither a number nor a valid "
+                                f"expression: {u_val!r}")
             for k in ("x_min", "x_max", "y_min", "y_max"):
                 float(self.domain[k])
             if float(self.domain["x_max"]) <= float(self.domain["x_min"]):

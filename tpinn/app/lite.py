@@ -55,7 +55,12 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
 <span id="status">idle</span></header>
 <main>
 <div id="left">
- <div class="card"><h3>Equation (residual = 0)</h3>
+ <div class="card"><h3>Problem preset</h3>
+  <select id="preset" style="width:99%;padding:5px" onchange="loadPreset()">
+   <option value="">— custom —</option>
+  </select>
+ </div>
+ <div class="card"><h3>Equation (residual = 0, or lhs = rhs)</h3>
   <input id="equation" value="u_rr + 1/r*u_r + 1/r**2*u_tt" spellcheck="false">
   <div class="legend">ops + - * / ** ( ), vars r t x y u, derivatives u_r u_rr u_rt…,
   functions sin cos exp log sqrt tanh, constants pi e, optional “lhs = rhs”.</div>
@@ -123,6 +128,35 @@ function seed(i, vals){ for(const [k,v] of Object.entries(vals))
 addBC(); seed(1,{bd_x1_min:"0.1",bd_x1_max:"0.1",bd_y1_min:"0",bd_y1_max:"1",bd_u1:"1"});
 addBC(); seed(2,{bd_x2_min:"1",bd_x2_max:"1",bd_y2_min:"0",bd_y2_max:"1",bd_u2:"0"});
 
+(async () => {
+ const names = await (await fetch("/api/presets")).json();
+ const sel = document.getElementById("preset");
+ for(const n of names.presets){
+  const o = document.createElement("option"); o.value = n; o.textContent = n;
+  sel.appendChild(o);
+ }
+})();
+async function loadPreset(){
+ const name = document.getElementById("preset").value;
+ if(!name) return;
+ const p = await (await fetch("/api/preset?name="+name)).json();
+ document.getElementById("equation").value = p.equation;
+ for(const k of ["x_min","x_max","y_min","y_max"])
+  document.getElementById(k).value = p.domain[k];
+ document.getElementById("scl").value = p.scl;
+ document.getElementById("epsil").value = p.epsil;
+ while(nbc > 1) delBC();
+ while(nbc < p.bcs.length) addBC();
+ p.bcs.forEach((bc, i) => {
+  const j = i+1;
+  seed(j, Object.fromEntries([
+   ["bd_x"+j+"_min", bc.x_min], ["bd_x"+j+"_max", bc.x_max],
+   ["bd_y"+j+"_min", bc.y_min], ["bd_y"+j+"_max", bc.y_max],
+   ["bd_u"+j, bc.u]]));
+ });
+ eqInput.dispatchEvent(new Event("input"));
+}
+
 const eqInput = document.getElementById("equation");
 eqInput.addEventListener("input", async () => {
  const r = await fetch("/api/validate?eq="+encodeURIComponent(eqInput.value));
@@ -133,8 +167,14 @@ eqInput.addEventListener("input", async () => {
 async function start(){
  const g = id => document.getElementById(id).value;
  const boundary = {};
- for(let i=1;i<=nbc;i++) for(const k of ["x"+i+"_min","x"+i+"_max","y"+i+"_min","y"+i+"_max","u"+i])
-   boundary["bd_"+k] = parseFloat(g("bd_"+k));
+ for(let i=1;i<=nbc;i++){
+  for(const k of ["x"+i+"_min","x"+i+"_max","y"+i+"_min","y"+i+"_max"])
+    boundary["bd_"+k] = parseFloat(g("bd_"+k));
+  // u may be a number OR a coordinate expression like sin(pi*x)
+  const uraw = g("bd_u"+i).trim();
+  const unum = Number(uraw);
+  boundary["bd_u"+i] = Number.isFinite(unum) && uraw !== "" ? unum : uraw;
+ }
  const req = {
   session: session,
   equation: g("equation"),
@@ -321,6 +361,17 @@ def make_handler(manager: SessionManager):
                 ok = pde.validate_equation(q.get("eq", ""),
                                            coords=("r", "t", "x", "y"))
                 self._json({"valid": bool(ok)})
+            elif url.path == "/api/presets":
+                from tpinn.app.presets import preset_names
+
+                self._json({"presets": preset_names()})
+            elif url.path == "/api/preset":
+                from tpinn.app.presets import preset_payload
+
+                try:
+                    self._json(preset_payload(q.get("name", "")))
+                except KeyError as e:
+                    self._json({"error": str(e)}, 404)
             elif url.path == "/api/status":
                 self._json(manager.status(q.get("session", "")))
             elif url.path == "/api/figure":

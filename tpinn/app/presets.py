@@ -1,0 +1,48 @@
+"""UI payloads for the problem presets: autofill values for the web form.
+
+Maps each ProblemSpec onto the reference UI's field schema (equation,
+domain box, BC groups with numeric-or-expression u values, sensible
+training defaults).  1-D presets are expressed on an (x, t) product domain
+— the solution is constant along the dummy axis, which the solver handles
+naturally.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from tpinn import problems
+
+
+def _bc_entry(grp, dim: int) -> Dict:
+    lo = list(grp.lo) + [0.0] * (2 - dim)
+    hi = list(grp.hi) + [1.0] * (2 - dim)
+    u = grp.value_expr if grp.value_expr is not None else grp.value
+    return {"x_min": lo[0], "x_max": hi[0], "y_min": lo[1], "y_max": hi[1],
+            "u": u}
+
+
+def preset_payload(name: str) -> Dict:
+    p = problems.get_problem(name)
+    dim = p.dim
+    # fold a separate forcing term into the equation via "lhs = rhs" so the
+    # UI's single equation box carries the full residual
+    equation = f"{p.equation} = {p.source}" if p.source else p.equation
+    payload = {
+        "name": name,
+        "equation": equation,
+        "domain": {
+            "x_min": p.lb[0], "x_max": p.ub[0],
+            "y_min": p.lb[1] if dim == 2 else 0.0,
+            "y_max": p.ub[1] if dim == 2 else 1.0,
+        },
+        "bcs": [_bc_entry(g, dim) for g in p.bc_groups],
+        "scl": 1.0,
+        "epsil": 1.0,
+        "has_oracle": p.exact is not None,
+    }
+    return payload
+
+
+def preset_names() -> List[str]:
+    return sorted(problems.PRESETS)

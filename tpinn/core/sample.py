@@ -186,12 +186,14 @@ def boundary_band_density(R: Array, T: Array, lb: Array, ub: Array) -> Array:
 class BCGroup:
     """One boundary-condition group: LHS-sample the box [lo, hi] and pin the
     solution to ``value`` there (constant, as in the reference UI) or to a
-    coordinate expression compiled by tpinn.core.pde."""
+    coordinate expression compiled by tpinn.core.pde (``value_fn``;
+    ``value_expr`` carries its source string for UIs/serialization)."""
 
     lo: Tuple[float, ...]
     hi: Tuple[float, ...]
     value: float = 0.0
     value_fn: Optional[Callable[[Array], Array]] = None
+    value_expr: Optional[str] = None
 
     def target(self, pts: Array) -> Array:
         if self.value_fn is not None:

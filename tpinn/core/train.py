@@ -630,11 +630,20 @@ def run_pinn_training(
     n_groups = len(boundary) // 5
     groups = []
     for i in range(1, n_groups + 1):
+        raw_u = boundary[f"bd_u{i}"]
+        try:
+            value, value_fn, value_expr = float(raw_u), None, None
+        except (TypeError, ValueError):
+            # expression-valued BC (e.g. the heat IC "sin(pi*x)") — a
+            # capability the reference's constant-only inputs lack
+            value = 0.0
+            value_expr = str(raw_u)
+            value_fn = pde.compile_coord_expr(value_expr, coords)
         groups.append(
             sample.BCGroup(
                 lo=(boundary[f"bd_x{i}_min"], boundary[f"bd_y{i}_min"]),
                 hi=(boundary[f"bd_x{i}_max"], boundary[f"bd_y{i}_max"]),
-                value=float(boundary[f"bd_u{i}"]),
+                value=value, value_fn=value_fn, value_expr=value_expr,
             )
         )
 

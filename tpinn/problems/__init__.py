@@ -78,7 +78,8 @@ def burgers_1d(nu: float = 0.01) -> ProblemSpec:
         lb=(-1.0, 0.0),
         ub=(1.0, 1.0),
         bc_groups=(
-            sample.BCGroup(lo=(-1.0, 0.0), hi=(1.0, 0.0), value_fn=ic),  # IC
+            sample.BCGroup(lo=(-1.0, 0.0), hi=(1.0, 0.0), value_fn=ic,
+                           value_expr="sin(pi*x)"),  # IC
             sample.BCGroup(lo=(-1.0, 0.0), hi=(-1.0, 1.0), value=0.0),
             sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
         ),
@@ -117,7 +118,8 @@ def heat_2d() -> ProblemSpec:
         lb=(0.0, 0.0),
         ub=(1.0, 1.0),
         bc_groups=(
-            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value_fn=ic),   # IC
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value_fn=ic,
+                           value_expr="sin(pi*x)"),   # IC
             sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
             sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
         ),
@@ -141,10 +143,12 @@ def helmholtz_2d(k: float = 20.0) -> ProblemSpec:
         bc_groups=(
             sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
             sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0),
-                           value_fn=edge(f"sin({k})*sin({k}*y)")),
+                           value_fn=edge(f"sin({k})*sin({k}*y)"),
+                           value_expr=f"sin({k})*sin({k}*y)"),
             sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
             sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0),
-                           value_fn=edge(f"sin({k}*x)*sin({k})")),
+                           value_fn=edge(f"sin({k}*x)*sin({k})"),
+                           value_expr=f"sin({k}*x)*sin({k})"),
         ),
         exact=lambda z: jnp.sin(k * z[:, 0:1]) * jnp.sin(k * z[:, 1:2]),
     )
