@@ -301,114 +301,128 @@ def _two_loop(g, S, Y, rho, count, head, gamma, memory):
 
 
 def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
-    """Strong-Wolfe line search (bracket + zoom). Returns
-    (alpha, f_new, g_new, info_new, ok)."""
+    """Strong-Wolfe line search as a SINGLE state machine while_loop.
+
+    Bracketing and zoom (Nocedal & Wright alg. 3.5/3.6, with safeguarded
+    quadratic interpolation in the zoom stage) share one function-eval site
+    per iteration — the loss/grad graph is instantiated once, keeping the
+    compiled artifact small.  Returns (alpha, f_new, g_new, info_new, ok).
+
+    mode: 0 = bracketing, 1 = zooming, 2 = accepted, 3 = failed.
+    """
     dphi0 = jnp.dot(g0, d)
     c1, c2 = cfg.c1, cfg.c2
-
-    def phi(a):
-        f, g, info = vg(x + a * d)
-        return f, jnp.dot(g, d), g, info
-
     zero = jnp.zeros((), f0.dtype)
+    i0, i1, i2, i3 = (jnp.int32(k) for k in range(4))
+    max_evals = cfg.max_bracket + cfg.max_linesearch
 
-    # ---------------- bracket ----------------
-    def bracket_cond(s):
-        return s[0] == 0
-
-    def bracket_body(s):
-        (mode, i, a_prev, phi_prev, dphi_prev, a_cur,
-         a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
-         a_acc, f_acc, g_acc, info_acc) = s
-        fa, dfa, ga, info = phi(a_cur)
-        first = i == 0
-        armijo_fail = (fa > f0 + c1 * a_cur * dphi0) | ((fa >= phi_prev) & ~first)
-        curv_ok = jnp.abs(dfa) <= -c2 * dphi0
-        pos_slope = dfa >= 0.0
-        one, two = jnp.int32(1), jnp.int32(2)
-        new_mode = jnp.where(
-            armijo_fail, one,
-            jnp.where(curv_ok, two, jnp.where(pos_slope, one, jnp.int32(0))),
-        )
-        a_lo_n = jnp.where(armijo_fail, a_prev, a_cur)
-        phi_lo_n = jnp.where(armijo_fail, phi_prev, fa)
-        dphi_lo_n = jnp.where(armijo_fail, dphi_prev, dfa)
-        a_hi_n = jnp.where(armijo_fail, a_cur, a_prev)
-        phi_hi_n = jnp.where(armijo_fail, fa, phi_prev)
-        keep_bracketing = new_mode == 0
-        new_mode = jnp.where(keep_bracketing & (i + 1 >= cfg.max_bracket),
-                             jnp.int32(3), new_mode)
-        acc = new_mode == 2
-        return (
-            new_mode, i + 1, a_cur, fa, dfa, 2.0 * a_cur,
-            jnp.where(new_mode == 1, a_lo_n, a_lo),
-            jnp.where(new_mode == 1, a_hi_n, a_hi),
-            jnp.where(new_mode == 1, phi_lo_n, phi_lo),
-            jnp.where(new_mode == 1, dphi_lo_n, dphi_lo),
-            jnp.where(new_mode == 1, phi_hi_n, phi_hi),
-            jnp.where(acc, a_cur, a_acc),
-            jnp.where(acc, fa, f_acc),
-            jnp.where(acc, ga, g_acc),
-            jnp.where(acc, info, info_acc),
-        )
-
-    s0 = (
-        jnp.int32(0), jnp.int32(0), zero, f0, dphi0, jnp.asarray(alpha0, f0.dtype),
-        zero, jnp.asarray(alpha0, f0.dtype), f0, dphi0, f0,
-        zero, f0, g0, info0,
-    )
-    (mode, _, _, _, _, _, a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
-     a_acc, f_acc, g_acc, info_acc) = jax.lax.while_loop(
-        bracket_cond, bracket_body, s0
-    )
-
-    # ---------------- zoom ----------------
-    def zoom_cond(s):
-        return s[0] == 1
-
-    def zoom_body(s):
-        (mode, j, a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
-         a_acc, f_acc, g_acc, info_acc) = s
-        # quadratic-interpolation trial through (a_lo, phi_lo, dphi_lo) and
-        # (a_hi, phi_hi), safeguarded to the middle 80% of the interval;
-        # bisection fallback (TFP's zoom uses the same safeguarded
-        # polynomial strategy)
+    def interp(a_lo, a_hi, phi_lo, dphi_lo, phi_hi):
+        """Safeguarded quadratic trial inside (a_lo, a_hi); bisect fallback."""
         span = a_hi - a_lo
         denom = phi_hi - phi_lo - dphi_lo * span
         a_q = a_lo - 0.5 * dphi_lo * span * span / denom
         t = (a_q - a_lo) / jnp.where(span == 0.0, 1.0, span)
         good = jnp.isfinite(a_q) & (t > 0.1) & (t < 0.9) & (denom != 0.0)
-        a_j = jnp.where(good, a_q, 0.5 * (a_lo + a_hi))
-        fa, dfa, ga, info = phi(a_j)
-        hi_update = (fa > f0 + c1 * a_j * dphi0) | (fa >= phi_lo)
-        curv_ok = jnp.abs(dfa) <= -c2 * dphi0
-        accept = ~hi_update & curv_ok
-        # standard zoom bookkeeping
-        flip = ~hi_update & ~curv_ok & (dfa * (a_hi - a_lo) >= 0.0)
-        new_a_hi = jnp.where(hi_update, a_j, jnp.where(flip, a_lo, a_hi))
-        new_phi_hi = jnp.where(hi_update, fa, jnp.where(flip, phi_lo, phi_hi))
-        new_a_lo = jnp.where(hi_update, a_lo, a_j)
-        new_phi_lo = jnp.where(hi_update, phi_lo, fa)
-        new_dphi_lo = jnp.where(hi_update, dphi_lo, dfa)
-        exhausted = j + 1 >= cfg.max_linesearch
-        new_mode = jnp.where(accept, jnp.int32(2),
-                             jnp.where(exhausted, jnp.int32(3), jnp.int32(1)))
-        return (
-            new_mode, j + 1, new_a_lo, new_a_hi, new_phi_lo, new_dphi_lo,
-            new_phi_hi,
-            jnp.where(accept, a_j, a_acc),
-            jnp.where(accept, fa, f_acc),
-            jnp.where(accept, ga, g_acc),
-            jnp.where(accept, info, info_acc),
+        return jnp.where(good, a_q, 0.5 * (a_lo + a_hi))
+
+    def cond(s):
+        return (s["mode"] < 2) & (s["evals"] < max_evals)
+
+    def body(s):
+        a = s["a_cur"]
+        f, g, info = vg(x + a * d)
+        df = jnp.dot(g, d)
+        armijo = f <= f0 + c1 * a * dphi0
+        curv = jnp.abs(df) <= -c2 * dphi0
+        bracketing = s["mode"] == 0
+
+        # --- bracketing-stage classification (only meaningful if mode==0)
+        b_hi = (~armijo) | ((f >= s["phi_prev"]) & (s["evals"] > 0))
+        b_accept = armijo & curv & ~b_hi
+        b_flip = ~b_hi & ~b_accept & (df >= 0.0)
+        # --- zoom-stage classification (only meaningful if mode==1)
+        z_hi = (~armijo) | (f >= s["phi_lo"])
+        z_accept = ~z_hi & curv
+        z_flip = ~z_hi & ~curv & (df * (s["a_hi"] - s["a_lo"]) >= 0.0)
+
+        accept = jnp.where(bracketing, b_accept, z_accept)
+        to_zoom = bracketing & (b_hi | b_flip)
+
+        # interval updates
+        a_lo = jnp.where(
+            bracketing,
+            jnp.where(b_hi, s["a_prev"], a),
+            jnp.where(z_hi, s["a_lo"], a),
+        )
+        phi_lo = jnp.where(
+            bracketing,
+            jnp.where(b_hi, s["phi_prev"], f),
+            jnp.where(z_hi, s["phi_lo"], f),
+        )
+        dphi_lo = jnp.where(
+            bracketing,
+            jnp.where(b_hi, s["dphi_prev"], df),
+            jnp.where(z_hi, s["dphi_lo"], df),
+        )
+        a_hi = jnp.where(
+            bracketing,
+            jnp.where(b_hi, a, s["a_prev"]),
+            jnp.where(z_hi, a, jnp.where(z_flip, s["a_lo"], s["a_hi"])),
+        )
+        phi_hi = jnp.where(
+            bracketing,
+            jnp.where(b_hi, f, s["phi_prev"]),
+            jnp.where(z_hi, f, jnp.where(z_flip, s["phi_lo"], s["phi_hi"])),
         )
 
-    z0 = (mode, jnp.int32(0), a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
-          a_acc, f_acc, g_acc, info_acc)
-    (mode, _, a_lo, a_hi, phi_lo, dphi_lo, phi_hi,
-     a_acc, f_acc, g_acc, info_acc) = jax.lax.while_loop(zoom_cond, zoom_body, z0)
+        zooming_next = to_zoom | ((s["mode"] == 1) & ~accept)
+        a_next = jnp.where(
+            zooming_next,
+            interp(a_lo, a_hi, phi_lo, dphi_lo, phi_hi),
+            2.0 * a,  # keep expanding the bracket
+        )
+        mode = jnp.where(accept, i2, jnp.where(zooming_next, i1, i0))
+        # budget exhaustion -> failed
+        mode = jnp.where((mode < 2) & (s["evals"] + 1 >= max_evals), i3, mode)
 
-    ok = mode == 2
-    return a_acc, f_acc, g_acc, info_acc, ok
+        return {
+            "mode": mode,
+            "evals": s["evals"] + 1,
+            "a_prev": a,
+            "phi_prev": f,
+            "dphi_prev": df,
+            "a_cur": a_next,
+            "a_lo": a_lo,
+            "a_hi": a_hi,
+            "phi_lo": phi_lo,
+            "dphi_lo": dphi_lo,
+            "phi_hi": phi_hi,
+            "a_acc": jnp.where(accept, a, s["a_acc"]),
+            "f_acc": jnp.where(accept, f, s["f_acc"]),
+            "g_acc": jnp.where(accept, g, s["g_acc"]),
+            "info_acc": jnp.where(accept, info, s["info_acc"]),
+        }
+
+    s0 = {
+        "mode": i0,
+        "evals": jnp.int32(0),
+        "a_prev": zero,
+        "phi_prev": f0,
+        "dphi_prev": dphi0,
+        "a_cur": jnp.asarray(alpha0, f0.dtype),
+        "a_lo": zero,
+        "a_hi": jnp.asarray(alpha0, f0.dtype),
+        "phi_lo": f0,
+        "dphi_lo": dphi0,
+        "phi_hi": f0,
+        "a_acc": zero,
+        "f_acc": f0,
+        "g_acc": g0,
+        "info_acc": info0,
+    }
+    s = jax.lax.while_loop(cond, body, s0)
+    ok = s["mode"] == 2
+    return s["a_acc"], s["f_acc"], s["g_acc"], s["info_acc"], ok
 
 
 def lbfgs_minimize(
