@@ -134,3 +134,37 @@ def test_bc_value_fn():
         [np.sin(np.pi * 0.5), np.sin(np.pi * 0.25)],
         rtol=1e-5,
     )
+
+
+def test_adaptive_density_concentrates_points():
+    """predictF-equivalent density + inverse-CDF sampling concentrates
+    collocation points where the residual is large (the adaptive
+    collocation feature, software.py:608-623 + :566)."""
+    from tpinn.core import train as train_mod
+    from tpinn.core import pde
+
+    compiled = pde.compile_pde("u_xx + u_yy", coords=("x", "y"))
+
+    # predictor whose residual is a bump at (0.75, 0.75):
+    # u = exp(-((x-.75)^2+(y-.75)^2)/0.01) has large Laplacian near center
+    def predictor(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return jnp.exp(-((x - 0.75) ** 2 + (y - 0.75) ** 2) / 0.01)
+
+    g = 61
+    xs = jnp.linspace(0.0, 1.0, g)
+    R, T = jnp.meshgrid(xs, xs)
+    density_fn = train_mod.make_density_fn(predictor, compiled, (R, T))
+    F = density_fn({})
+    assert F.shape == (g, g)
+    # density peaks near the bump
+    peak = jnp.unravel_index(jnp.argmax(F), F.shape)
+    assert abs(float(T[peak]) - 0.75) < 0.1
+    assert abs(float(R[peak]) - 0.75) < 0.1
+
+    pts = sample.inverse_cdf_2d(jax.random.PRNGKey(0), R, T, F, 2000)
+    near = jnp.mean(
+        (jnp.abs(pts[:, 0] - 0.75) < 0.15) & (jnp.abs(pts[:, 1] - 0.75) < 0.15)
+    )
+    # bump region is 9% of the area but draws far more of the samples
+    assert float(near) > 0.3
