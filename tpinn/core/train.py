@@ -119,6 +119,9 @@ class TrainSpec:
     # f64 (software.py:18) and owes its tight convergence to the L-BFGS
     # phase.
     lbfgs_dtype: Optional[str] = None
+    # "cpu" pins the L-BFGS phase to the host CPU (f64 there is native
+    # rather than TPU-emulated; also sidesteps accelerator-compiler bugs).
+    lbfgs_device: Optional[str] = None
 
     def with_default_stages(self, depth=6, width=50, adam=1000, lbfgs=1000):
         """Reference-like two stages: user net then 6×50 sin correction
@@ -422,27 +425,33 @@ def run_training(
             else:
                 stage_lw_l, ref_l = stage_lw, ref
 
-            try:
-                params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
-                    loss_fn, params, data_lbfgs, stage_lw_l, ref_l, lbfgs_cfg
-                )
-            except jax.errors.JaxRuntimeError as e:
-                # Observed on the tunneled v5e: the TPU compiler's fusion
-                # pass SIGILLs on some L-BFGS graphs (burgers/poisson_2d).
-                # Degrade gracefully: run this (cheap, few-hundred-iteration)
-                # phase on the host CPU and continue on-device afterwards.
-                log(f"stage {stage_no}: L-BFGS TPU compile failed "
-                    f"({str(e).splitlines()[0][:100]}); retrying on CPU")
+            def _lbfgs_on_cpu():
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
-                    params_cpu = jax.device_put(params, cpu)
-                    data_cpu = jax.device_put(data_lbfgs, cpu)
-                    params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
-                        loss_fn, params_cpu, data_cpu,
+                    out = optim.lbfgs_over_pytree(
+                        loss_fn, jax.device_put(params, cpu),
+                        jax.device_put(data_lbfgs, cpu),
                         jax.device_put(stage_lw_l, cpu),
                         jax.device_put(ref_l, cpu), lbfgs_cfg,
                     )
-                params = jax.device_put(params, jax.devices()[0])
+                return (jax.device_put(out[0], jax.devices()[0]),) + out[1:]
+
+            if spec.lbfgs_device == "cpu":
+                params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
+            else:
+                try:
+                    params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
+                        loss_fn, params, data_lbfgs, stage_lw_l, ref_l,
+                        lbfgs_cfg,
+                    )
+                except jax.errors.JaxRuntimeError as e:
+                    # Observed on the tunneled v5e: the TPU compiler's
+                    # fusion pass SIGILLs on some L-BFGS graphs.  Degrade
+                    # gracefully: run this (cheap, few-hundred-iteration)
+                    # phase on the host CPU and continue on-device after.
+                    log(f"stage {stage_no}: L-BFGS TPU compile failed "
+                        f"({str(e).splitlines()[0][:100]}); retrying on CPU")
+                    params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
             hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_rows)]
             log(f"stage {stage_no}: L-BFGS done ({int(n_rows) - 1} accepted "
                 f"iterations, final loss {hist_lbfgs[-1, 0]:.4e})")
