@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tpinn.core import deriv, loss as loss_mod, net, pde, taylor
+from tpinn.core import deriv, net, pde, taylor
 
 
 IDX = [(), (0,), (1,), (0, 0), (1, 1), (0, 1)]

@@ -23,10 +23,9 @@ load forever), training restartable, exceptions surfaced in the log.
 from __future__ import annotations
 
 import uuid
-from typing import Optional
 
 from tpinn.app.controller import SessionManager, TrainingRequest
-from tpinn.app.figure_data import FIGURES, figure_payload
+from tpinn.app.figure_data import figure_payload
 from tpinn.core import pde
 
 

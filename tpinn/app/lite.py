@@ -20,12 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from tpinn.app.controller import SessionManager, TrainingRequest
-from tpinn.app.figure_data import FIGURES, figure_payload
+from tpinn.app.figure_data import figure_payload
 from tpinn.core import pde
 
 PAGE = r"""<!DOCTYPE html>

@@ -20,7 +20,7 @@ serves both stages.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Sequence
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ the modified MLP of Wang et al. with multiplicative gating.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax

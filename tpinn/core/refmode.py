@@ -20,7 +20,7 @@ numerically (tests/test_pde.py, tests/test_parity.py).
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ Activation derivative table:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,8 +22,7 @@ jax.grad can differentiate.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ code runs on 1 CPU device, a virtual 8-CPU mesh (tests), or a TPU slice.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional, Sequence
 
 import jax

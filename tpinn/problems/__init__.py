@@ -13,8 +13,6 @@ use manufactured solutions so the oracle is closed-form.
 
 from __future__ import annotations
 
-import math
-from typing import Dict
 
 import jax.numpy as jnp
 

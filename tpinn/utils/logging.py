@@ -14,7 +14,7 @@ import logging
 import sys
 import threading
 from collections import deque
-from typing import Deque, Dict, Iterable, Optional
+from typing import Deque, Dict, Iterable
 
 
 class LogBuffer:
