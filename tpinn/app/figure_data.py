@@ -70,28 +70,39 @@ def load_error(path, upsample: int = 4) -> Dict:
     }
 
 
+MAX_CURVE_POINTS = 2000
+
+
+def _stride(n: int) -> int:
+    return max(1, n // MAX_CURVE_POINTS)
+
+
 def load_loss(path) -> Dict:
     loss = np.load(path)["loss"]
+    s = _stride(loss.shape[0])
     return {
         "type": "lines_log",
         "series": [
-            {"name": "Total Loss", "y": _lists(loss[:, 0])},
-            {"name": "Data Loss", "y": _lists(loss[:, 1])},
-            {"name": "Eqn Loss", "y": _lists(loss[:, 2])},
+            {"name": "Total Loss", "y": _lists(loss[::s, 0])},
+            {"name": "Data Loss", "y": _lists(loss[::s, 1])},
+            {"name": "Eqn Loss", "y": _lists(loss[::s, 2])},
         ],
         "xlabel": "Iteration",
+        "x_stride": s,
     }
 
 
 def load_boundary_loss(path) -> Dict:
     d = np.load(path)
+    s = _stride(d["loss_xy_l"].shape[0])
     return {
         "type": "lines_log_pair",
         "series": [
-            {"name": "Boundary Loss - xy_l", "y": _lists(d["loss_xy_l"])},
-            {"name": "Boundary Loss - xy_r", "y": _lists(d["loss_xy_r"])},
+            {"name": "Boundary Loss - xy_l", "y": _lists(d["loss_xy_l"][::s])},
+            {"name": "Boundary Loss - xy_r", "y": _lists(d["loss_xy_r"][::s])},
         ],
         "xlabel": "Iteration",
+        "x_stride": s,
     }
 
 
