@@ -113,3 +113,21 @@ def test_plan_streams():
     assert streams == [(), (0,), (1,), (0, 1)]
     with pytest.raises(ValueError):
         taylor.plan_streams([(0, 0, 0)])
+
+
+def test_siren_style_all_sin():
+    """act_hidden='sin' (SIREN-style) propagates correctly through all
+    three paths: apply, fused Taylor-2, generic."""
+    fm = net.feature_map_for(("minmax", "minmax"))
+    spec = net.MLPSpec(depth=3, width=16, act_first="sin", act_hidden="sin",
+                      scl=3.0)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm)
+    lb, ub = jnp.zeros(2), jnp.ones(2)
+    predictor = net.make_predictor(spec, fm, lb, ub)
+    z = jax.random.uniform(jax.random.PRNGKey(1), (25, 2))
+    fused = predictor.tpinn_partials(params, z, IDX)
+    generic = deriv.partials(lambda zz: predictor(params, zz), z, IDX)
+    for ix in IDX:
+        np.testing.assert_allclose(np.asarray(fused[ix]),
+                                   np.asarray(generic[ix]),
+                                   rtol=3e-4, atol=1e-5, err_msg=str(ix))

@@ -145,6 +145,7 @@ class MLPSpec:
     width: int
     out_dim: int = 1
     act_first: str = "tanh"
+    act_hidden: str = "tanh"   # "sin" gives SIREN-style all-periodic nets
     scl: float = 1.0
     epsil: float = 1.0
     fourier_features: int = 0
@@ -186,6 +187,7 @@ def init_params(key: Array, spec: MLPSpec, feature_map: FeatureMap, dtype=jnp.fl
 def mlp_apply(params: dict, h: Array, spec: MLPSpec) -> Array:
     """Dense chain on already-embedded features ``h``."""
     act0 = activation(spec.act_first)
+    acth = activation(spec.act_hidden)
     layers = params["layers"]
     dot = lambda a, b: jnp.dot(a, b, precision=spec.precision)
     if spec.fourier_features:
@@ -198,12 +200,12 @@ def mlp_apply(params: dict, h: Array, spec: MLPSpec) -> Array:
         h = act0(dot(h, first["w"]) * spec.scl + first["b"])
         h = (1.0 - h) * u + h * v
         for layer in hidden:
-            t = jnp.tanh(dot(h, layer["w"]) + layer["b"])
+            t = acth(dot(h, layer["w"]) + layer["b"])
             h = (1.0 - t) * u + t * v
     else:
         h = act0(dot(h, first["w"]) * spec.scl + first["b"])
         for layer in hidden:
-            h = jnp.tanh(dot(h, layer["w"]) + layer["b"])
+            h = acth(dot(h, layer["w"]) + layer["b"])
     return dot(h, last["w"]) + last["b"]
 
 

@@ -162,7 +162,7 @@ def taylor2_mlp(
             out = out.at[0].add(b)
             break
         x0 = X[0] + b
-        name = spec.act_first if li == 0 else "tanh"
+        name = spec.act_first if li == 0 else spec.act_hidden
         a, d1, d2 = _act_derivs(name, x0)
         new = [a]
         for st in streams[1:]:

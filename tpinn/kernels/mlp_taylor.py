@@ -110,7 +110,7 @@ def _make_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers):
                 ]
                 break
             x0 = X[0:B] + b
-            name = spec.act_first if li == 0 else "tanh"
+            name = spec.act_first if li == 0 else spec.act_hidden
             a, d1, d2 = _act(name, x0)
             new = [a]
             for st in streams[1:]:
