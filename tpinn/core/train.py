@@ -452,6 +452,15 @@ def run_training(
                     log(f"stage {stage_no}: L-BFGS TPU compile failed "
                         f"({str(e).splitlines()[0][:100]}); retrying on CPU")
                     params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
+            if lbfgs_dtype != dtype:
+                # return to the training dtype so later stages (frozen
+                # composition, density refresh) keep uniform carry types;
+                # the ~1e-7 relative rounding is far below the optimization
+                # floor the f64 polish just reached
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, params
+                )
             hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_rows)]
             log(f"stage {stage_no}: L-BFGS done ({int(n_rows) - 1} accepted "
                 f"iterations, final loss {hist_lbfgs[-1, 0]:.4e})")
