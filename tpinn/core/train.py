@@ -86,6 +86,13 @@ class StageSpec:
     epsil: Optional[float] = None          # None → derived (stage ≥ 2)
     adam_epochs: int = 1000
     lbfgs_epochs: int = 1000               # max L-BFGS iters = epochs/3 (ref)
+    # L-BFGS restarts with fresh point draws + density refresh between them
+    # (the reference's `for l in range(1)` loop, software.py:755-759, with
+    # the knob actually usable).  Deep L-BFGS on ONE fixed draw overfits the
+    # sampled collocation set — measured on the annulus: 3000 iterations on
+    # one draw reach loss 5e-10 but WORSEN rel-L2 3x vs 1000 iterations;
+    # restarting with fresh draws restores generalization.
+    lbfgs_rounds: int = 1
     sample_scale: float = 1.0              # multiplies all sample counts
     fourier_features: int = 0
     fourier_scale: float = 1.0
@@ -397,14 +404,14 @@ def run_training(
             log(f"stage {stage_no}: Adam done ({n_adam} steps, "
                 f"final loss {hist_adam[-1, 0]:.4e}, lr {float(res.lr):.2e})")
 
-            # --- density refresh + fresh data for L-BFGS (software.py:748-749)
-            Fs = jax.jit(density_fn)(params)
-            data_lbfgs = sample_fn(key_lbfgs, Fs)
-
             # --- pure-XLA L-BFGS (max_iters = epochs/3, as TFP was driven,
-            #     software.py:504-508)
+            #     software.py:504-508), in `lbfgs_rounds` restarts with a
+            #     density refresh + fresh point draw between rounds (the
+            #     reference's loop at :755-759)
+            rounds = max(1, st.lbfgs_rounds)
             lbfgs_cfg = optim.LBFGSConfig(
-                max_iters=max(1, int(st.lbfgs_epochs / 3)), tolerance=1e-10
+                max_iters=max(1, int(st.lbfgs_epochs / 3 / rounds)),
+                tolerance=1e-10,
             )
 
             lbfgs_dtype = dtype
@@ -412,58 +419,69 @@ def run_training(
                 lbfgs_dtype = jnp.dtype(spec.lbfgs_dtype)
                 if lbfgs_dtype == jnp.float64:
                     jax.config.update("jax_enable_x64", True)
-            if lbfgs_dtype != dtype:
-                cast = lambda t: jax.tree_util.tree_map(
-                    lambda x: x.astype(lbfgs_dtype)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, t
-                )
-                params = cast(params)
-                data_lbfgs = cast(data_lbfgs)
-                stage_lw_l = jnp.asarray(stage_lw, lbfgs_dtype)
-                ref_l = jnp.asarray(ref, lbfgs_dtype)
-                log(f"stage {stage_no}: L-BFGS polish in {lbfgs_dtype}")
-            else:
-                stage_lw_l, ref_l = stage_lw, ref
+                    log(f"stage {stage_no}: L-BFGS polish in {lbfgs_dtype}")
 
-            def _lbfgs_on_cpu():
-                cpu = jax.devices("cpu")[0]
-                with jax.default_device(cpu):
-                    out = optim.lbfgs_over_pytree(
-                        loss_fn, jax.device_put(params, cpu),
-                        jax.device_put(data_lbfgs, cpu),
-                        jax.device_put(stage_lw_l, cpu),
-                        jax.device_put(ref_l, cpu), lbfgs_cfg,
-                    )
-                return (jax.device_put(out[0], jax.devices()[0]),) + out[1:]
+            cast_to = lambda t, dt: jax.tree_util.tree_map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t
+            )
 
-            if spec.lbfgs_device == "cpu":
-                params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
-            else:
-                try:
-                    params, hist_lbfgs_full, n_rows = optim.lbfgs_over_pytree(
-                        loss_fn, params, data_lbfgs, stage_lw_l, ref_l,
-                        lbfgs_cfg,
-                    )
-                except jax.errors.JaxRuntimeError as e:
-                    # Observed on the tunneled v5e: the TPU compiler's
-                    # fusion pass SIGILLs on some L-BFGS graphs.  Degrade
-                    # gracefully: run this (cheap, few-hundred-iteration)
-                    # phase on the host CPU and continue on-device after.
-                    log(f"stage {stage_no}: L-BFGS TPU compile failed "
-                        f"({str(e).splitlines()[0][:100]}); retrying on CPU")
+            hist_parts = []
+            key_round = key_lbfgs
+            for ri in range(rounds):
+                Fs = jax.jit(density_fn)(params)
+                key_round, sub = jax.random.split(key_round)
+                data_lbfgs = sample_fn(sub, Fs)
+                if lbfgs_dtype != dtype:
+                    params = cast_to(params, lbfgs_dtype)
+                    data_lbfgs = cast_to(data_lbfgs, lbfgs_dtype)
+                    stage_lw_l = jnp.asarray(stage_lw, lbfgs_dtype)
+                    ref_l = jnp.asarray(ref, lbfgs_dtype)
+                else:
+                    stage_lw_l, ref_l = stage_lw, ref
+
+                def _lbfgs_on_cpu():
+                    cpu = jax.devices("cpu")[0]
+                    with jax.default_device(cpu):
+                        out = optim.lbfgs_over_pytree(
+                            loss_fn, jax.device_put(params, cpu),
+                            jax.device_put(data_lbfgs, cpu),
+                            jax.device_put(stage_lw_l, cpu),
+                            jax.device_put(ref_l, cpu), lbfgs_cfg,
+                        )
+                    return (jax.device_put(out[0], jax.devices()[0]),) + out[1:]
+
+                if spec.lbfgs_device == "cpu":
                     params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
-            if lbfgs_dtype != dtype:
-                # return to the training dtype so later stages (frozen
-                # composition, density refresh) keep uniform carry types;
-                # the ~1e-7 relative rounding is far below the optimization
-                # floor the f64 polish just reached
-                params = jax.tree_util.tree_map(
-                    lambda x: x.astype(dtype)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, params
-                )
-            hist_lbfgs = np.asarray(hist_lbfgs_full)[: int(n_rows)]
-            log(f"stage {stage_no}: L-BFGS done ({int(n_rows) - 1} accepted "
-                f"iterations, final loss {hist_lbfgs[-1, 0]:.4e})")
+                else:
+                    try:
+                        params, hist_lbfgs_full, n_rows = (
+                            optim.lbfgs_over_pytree(
+                                loss_fn, params, data_lbfgs, stage_lw_l,
+                                ref_l, lbfgs_cfg,
+                            )
+                        )
+                    except jax.errors.JaxRuntimeError as e:
+                        # Observed on the tunneled v5e: the TPU compiler's
+                        # fusion pass SIGILLs on some L-BFGS graphs.
+                        # Degrade gracefully: run this phase on the host
+                        # CPU and continue on-device after.
+                        log(f"stage {stage_no}: L-BFGS TPU compile failed "
+                            f"({str(e).splitlines()[0][:100]}); "
+                            f"retrying on CPU")
+                        params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
+                if lbfgs_dtype != dtype:
+                    # return to the training dtype so later stages (frozen
+                    # composition, density refresh) keep uniform carry
+                    # types; ~1e-7 relative rounding, far below the
+                    # optimization floor the f64 polish just reached
+                    params = cast_to(params, dtype)
+                part = np.asarray(hist_lbfgs_full)[: int(n_rows)]
+                hist_parts.append(part)
+                log(f"stage {stage_no}: L-BFGS round {ri + 1}/{rounds} done "
+                    f"({int(n_rows) - 1} accepted iterations, "
+                    f"final loss {part[-1, 0]:.4e})")
+            hist_lbfgs = np.concatenate(hist_parts, axis=0)
         else:
             hist_adam = np.zeros((0, info_width), np.float64)
             hist_lbfgs = np.zeros((0, info_width), np.float64)
