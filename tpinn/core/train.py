@@ -82,6 +82,7 @@ class StageSpec:
     depth: int
     width: int
     act_first: str = "tanh"
+    act_hidden: str = "tanh"               # "sin" → SIREN-style
     scl: Optional[float] = None            # None → derived (stage ≥ 2)
     epsil: Optional[float] = None          # None → derived (stage ≥ 2)
     adam_epochs: int = 1000
@@ -305,6 +306,7 @@ def run_training(
 
         mspec = net.MLPSpec(
             depth=st.depth, width=st.width, act_first=st.act_first,
+            act_hidden=st.act_hidden,
             scl=float(scl), epsil=float(epsil),
             fourier_features=st.fourier_features,
             fourier_scale=st.fourier_scale, modified=st.modified,
