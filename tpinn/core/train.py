@@ -399,7 +399,25 @@ def run_training(
             phase = optim.make_adam_phase(
                 loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
             )
-            res = phase(key_adam, params, data0, F0, stage_lw, ref)
+            try:
+                res = phase(key_adam, params, data0, F0, stage_lw, ref)
+            except jax.errors.JaxRuntimeError as e:
+                # same flaky-TPU-compiler story as the L-BFGS fallback below
+                log(f"stage {stage_no}: Adam TPU compile failed "
+                    f"({str(e).splitlines()[0][:100]}); retrying on CPU")
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    res = phase(
+                        jax.device_put(key_adam, cpu),
+                        jax.device_put(params, cpu),
+                        jax.device_put(data0, cpu),
+                        jax.device_put(F0, cpu),
+                        jax.device_put(stage_lw, cpu),
+                        jax.device_put(ref, cpu),
+                    )
+                res = res._replace(
+                    params=jax.device_put(res.params, jax.devices()[0])
+                )
             params = res.params
             n_adam = int(res.n_valid)
             hist_adam = np.asarray(res.history)[:n_adam]
