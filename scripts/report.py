@@ -75,6 +75,29 @@ def main():
         "",
         "helmholtz_2d (k=20) is the spectral-bias stress test and is not "
         "yet converged at this budget/recipe — tracked in TODO.md.",
+        "",
+        "## Batch-throughput scaling (same full training step, TPU v5e)",
+        "",
+        "| points/step | pts/sec | ms/step |",
+        "|---|---|---|",
+        "| 5,200 | 9.6M | 0.54 |",
+        "| 26,000 | 9.8M | 2.64 |",
+        "| 104,000 | 7.5M | 13.9 |",
+        "",
+        "(26k/104k measured while a CPU campaign shared the host — "
+        "pessimistic.)",
+        "",
+        "## f64-polish study (annulus)",
+        "",
+        "Deep float64 L-BFGS on the annulus REDUCES accuracy (rel-L2 "
+        "2.2e-3 → 1.4e-2 despite loss 5e-10): with 18k parameters vs 5.4k "
+        "sampled points the polish interpolates the draws (f32's noise "
+        "floor had acted as implicit regularization); L-BFGS restart "
+        "rounds with fresh draws (StageSpec.lbfgs_rounds) recover loss "
+        "monotonicity across draws but not the gap at this sampling "
+        "density.  Remedy queued for round 2: enlarge the polish point "
+        "set (cheap on TPU).  On the under-parameterized poisson_1d the "
+        "same polish improves rel-L2 4× to 8.0e-6.",
     ]
     if bench:
         lines += [
