@@ -94,6 +94,11 @@ class StageSpec:
     # one draw reach loss 5e-10 but WORSEN rel-L2 3x vs 1000 iterations;
     # restarting with fresh draws restores generalization.
     lbfgs_rounds: int = 1
+    # extra count multiplier for the L-BFGS phase's point set only: the
+    # polish is a few hundred full-batch iterations, so points are cheap,
+    # and a larger set prevents the quasi-Newton steps from interpolating
+    # the draw (see REPORT.md f64-polish study)
+    lbfgs_sample_scale: float = 1.0
     sample_scale: float = 1.0              # multiplies all sample counts
     fourier_features: int = 0
     fourier_scale: float = 1.0
@@ -446,12 +451,26 @@ def run_training(
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, t
             )
 
+            if st.lbfgs_sample_scale != 1.0:
+                ls = st.lbfgs_sample_scale * sc
+                lcfg = sample.SamplerConfig(
+                    n_col=int(spec.n_col * ls), n_band=int(spec.n_band * ls),
+                    n_adaptive=int(spec.n_adaptive * ls),
+                    n_bd=int(spec.n_bd * ls), grid=spec.grid,
+                )
+                mk = (sample.make_sampler_1d if problem.dim == 1
+                      else sample.make_sampler)
+                sample_fn_l, _ = mk(lcfg, problem.bc_groups, problem.lb,
+                                    problem.ub, dtype)
+            else:
+                sample_fn_l = sample_fn
+
             hist_parts = []
             key_round = key_lbfgs
             for ri in range(rounds):
                 Fs = jax.jit(density_fn)(params)
                 key_round, sub = jax.random.split(key_round)
-                data_lbfgs = sample_fn(sub, Fs)
+                data_lbfgs = sample_fn_l(sub, Fs)
                 if lbfgs_dtype != dtype:
                     params = cast_to(params, lbfgs_dtype)
                     data_lbfgs = cast_to(data_lbfgs, lbfgs_dtype)
