@@ -93,11 +93,15 @@ def main():
         "2.2e-3 → 1.4e-2 despite loss 5e-10): with 18k parameters vs 5.4k "
         "sampled points the polish interpolates the draws (f32's noise "
         "floor had acted as implicit regularization); L-BFGS restart "
-        "rounds with fresh draws (StageSpec.lbfgs_rounds) recover loss "
-        "monotonicity across draws but not the gap at this sampling "
-        "density.  Remedy queued for round 2: enlarge the polish point "
-        "set (cheap on TPU).  On the under-parameterized poisson_1d the "
-        "same polish improves rel-L2 4× to 8.0e-6.",
+        "rounds with fresh draws (StageSpec.lbfgs_rounds) and a 4× "
+        "larger polish point set (StageSpec.lbfgs_sample_scale) were both "
+        "tested and do NOT close the gap — the grid-evaluated residual "
+        "floors near 2-3e-3 while the sampled residual goes to ~0, i.e. "
+        "the net oscillates between collocation points (aliasing).  "
+        "Round-2 remedies: the residual-gradient regularizer "
+        "(make_loss(deriv_loss=True), already implemented) and ~10× "
+        "points on-TPU.  On the under-parameterized poisson_1d the same "
+        "polish improves rel-L2 4× to 8.0e-6.",
     ]
     if bench:
         lines += [
