@@ -131,6 +131,9 @@ class TrainSpec:
     # below the f32 gradient-noise floor — the reference runs everything in
     # f64 (software.py:18) and owes its tight convergence to the L-BFGS
     # phase.
+    # enable the residual-gradient loss term weighted by lw[1]
+    # (make_loss(deriv_loss=True) — the reference's dormant df weight)
+    deriv_loss: bool = False
     lbfgs_dtype: Optional[str] = None
     # "cpu" pins the L-BFGS phase to the host CPU (f64 there is native
     # rather than TPU-emulated; also sidesteps accelerator-compiler bugs).
@@ -282,6 +285,8 @@ def run_training(
     )
 
     info_width = loss_mod.loss_info_width(len(problem.bc_groups))
+    if spec.deriv_loss:
+        info_width += 1  # extra eqn_err column for the gradient term
     lw = jnp.asarray(spec.lw, dtype)
 
     prev_frozen: Optional[Callable] = None
@@ -341,7 +346,8 @@ def run_training(
             F0 = jnp.ones_like(grids[0])
 
         density_fn = make_density_fn(predictor, compiled, grids, source_fn)
-        loss_fn = loss_mod.make_loss(predictor, compiled, source_fn)
+        loss_fn = loss_mod.make_loss(predictor, compiled, source_fn,
+                                     deriv_loss=spec.deriv_loss)
 
         key_adam = keys[4 * si + 1]
         key_lbfgs = keys[4 * si + 2]
