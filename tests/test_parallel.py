@@ -130,3 +130,24 @@ def test_ensemble_parallel(mesh_2x4):
 def test_round_count(mesh8):
     assert parallel.round_count(100, mesh8) == 104
     assert parallel.round_count(104, mesh8) == 104
+
+
+def test_run_training_with_mesh(mesh8, tmp_path):
+    """One-argument multi-chip training: the full pipeline under a mesh."""
+    from tpinn.core.train import StageSpec, TrainSpec
+
+    problem = problems.poisson_2d()
+    spec = TrainSpec(
+        n_col=128, n_band=32, n_adaptive=32, n_bd=16,
+        testing_size=(31, 31), grid=31, lw=(1.0, 0.0),
+        stages=(StageSpec(depth=2, width=16, scl=1.0, epsil=1.0,
+                          adam_epochs=40, lbfgs_epochs=15),),
+        density_every=20, plateau_every=40, tail_max=10,
+    )
+    res = train.run_training(problem, spec, output_dir=str(tmp_path),
+                             mesh=mesh8)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    assert (tmp_path / "loss_1.npz").exists()
+    # counts were rounded to the points-axis size (4 with ensemble=2... this
+    # mesh is (1, 8)): 128/32/32/16 are already multiples of 8
+    assert res.history.shape[0] > 40

@@ -241,6 +241,7 @@ def run_training(
     log_fn: Optional[Callable] = None,
     print_log: bool = False,
     resume: bool = False,
+    mesh=None,
 ) -> TrainResult:
     """Run the multi-stage pipeline.  Writes the reference's 11-artifact
     contract into ``output_dir`` when given.
@@ -249,7 +250,12 @@ def run_training(
     ``output_dir`` (params_stage_N.npz) and skips that stage's training —
     an interrupted multi-stage run continues from the last finished stage.
     (The reference has no checkpointing at all: params die with its
-    training thread, SURVEY §5.)"""
+    training thread, SURVEY §5.)
+
+    ``mesh``: a jax.sharding.Mesh from tpinn.parallel.make_mesh — point
+    batches shard over the mesh's 'points' axis (pure data parallelism:
+    one gradient psum per step over ICI), parameters replicated; sample
+    counts are rounded up to multiples of the points-axis size."""
     if not spec.stages:
         spec = spec.with_default_stages()
     dtype = jnp.dtype(spec.dtype)
@@ -329,9 +335,16 @@ def run_training(
 
         # --- sampler (counts scaled per stage, software.py:959)
         sc = st.sample_scale
+        if mesh is None:
+            _rc = lambda n: n
+        else:
+            from tpinn.parallel import round_count
+
+            _rc = lambda n: round_count(max(1, n), mesh)
         cfg = sample.SamplerConfig(
-            n_col=int(spec.n_col * sc), n_band=int(spec.n_band * sc),
-            n_adaptive=int(spec.n_adaptive * sc), n_bd=int(spec.n_bd * sc),
+            n_col=_rc(int(spec.n_col * sc)), n_band=_rc(int(spec.n_band * sc)),
+            n_adaptive=_rc(int(spec.n_adaptive * sc)),
+            n_bd=_rc(int(spec.n_bd * sc)),
             grid=spec.grid,
         )
         if problem.dim == 1:
@@ -348,10 +361,19 @@ def run_training(
         density_fn = make_density_fn(predictor, compiled, grids, source_fn)
         loss_fn = loss_mod.make_loss(predictor, compiled, source_fn,
                                      deriv_loss=spec.deriv_loss)
+        if mesh is not None:
+            from tpinn import parallel
+
+            loss_fn = parallel.make_parallel_loss(loss_fn, mesh)
+            sample_fn = parallel.sharded_sampler(sample_fn, mesh)
 
         key_adam = keys[4 * si + 1]
         key_lbfgs = keys[4 * si + 2]
         data0 = sample_fn(key_adam, F0)
+        if mesh is not None:
+            from tpinn import parallel
+
+            data0 = parallel.shard_data(data0, mesh)
 
         if out:
             limit = [problem.lb[0], problem.ub[0]] + (
