@@ -1,0 +1,141 @@
+"""Accuracy experiment runner: one training config per invocation, JSON out.
+
+The round-2 campaign tool for driving presets to their rel-L2 gates
+(annulus ≤1e-5, others ≤1e-4, helmholtz ≤1e-2 — VERDICT.md round-1 next
+steps 1-3).  Each run is one process so TPU-compiler crashes stay isolated
+and configs can be launched as a background matrix.
+
+    python scripts/accuracy.py --problem annulus_laplace \
+        --stages "6x50:tanh,6x50:sin" --adam 20000 --lbfgs 3000 \
+        --n-col 20000 --lbfgs-grid 334 --tag exp1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_stage(token: str, args, first: bool):
+    """'6x50:tanh' or '4x128:tanh:ff64:fs10' -> StageSpec."""
+    from tpinn.core.train import StageSpec
+
+    parts = token.split(":")
+    depth, width = (int(v) for v in parts[0].split("x"))
+    act = parts[1] if len(parts) > 1 else "tanh"
+    ff, fs, modified = 0, 1.0, False
+    act_hidden = "tanh"
+    for p in parts[2:]:
+        if p.startswith("ff"):
+            ff = int(p[2:])
+        elif p.startswith("fs"):
+            fs = float(p[2:])
+        elif p == "mod":
+            modified = True
+        elif p == "siren":
+            act_hidden = "sin"
+    return StageSpec(
+        depth=depth, width=width, act_first=act, act_hidden=act_hidden,
+        scl=1.0 if first else None, epsil=1.0 if first else None,
+        adam_epochs=args.adam if first else int(args.adam * args.stage2_mult),
+        lbfgs_epochs=args.lbfgs if first else int(args.lbfgs * args.stage2_mult),
+        sample_scale=1.0 if first else args.sample_scale2,
+        lbfgs_grid=args.lbfgs_grid,
+        lbfgs_rounds=args.lbfgs_rounds,
+        fourier_features=ff, fourier_scale=fs, modified=modified,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--problem", required=True)
+    p.add_argument("--stages", default="6x50:tanh,6x50:sin")
+    p.add_argument("--adam", type=int, default=20000)
+    p.add_argument("--lbfgs", type=int, default=3000,
+                   help="lbfgs 'epochs' (max_iters = epochs/3, ref semantics)")
+    p.add_argument("--stage2-mult", type=float, default=1.5)
+    p.add_argument("--n-col", type=int, default=20000)
+    p.add_argument("--n-band", type=int, default=4000)
+    p.add_argument("--n-adaptive", type=int, default=8000)
+    p.add_argument("--n-bd", type=int, default=500)
+    p.add_argument("--lw0", type=float, default=0.05)
+    p.add_argument("--lw1", type=float, default=0.0)
+    p.add_argument("--deriv-loss", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--sample-scale2", type=float, default=2.0)
+    p.add_argument("--lbfgs-grid", type=int, default=0)
+    p.add_argument("--lbfgs-rounds", type=int, default=1)
+    p.add_argument("--lbfgs-dtype", default=None)
+    p.add_argument("--lbfgs-device", default=None)
+    p.add_argument("--scl1", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--grid", type=int, default=111)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--tag", required=True)
+    p.add_argument("--out-dir", default="out/acc")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+    )
+
+    from dataclasses import replace
+
+    from tpinn import problems
+    from tpinn.core import train
+    from tpinn.core.train import TrainSpec
+
+    problem = problems.get_problem(args.problem)
+    tokens = args.stages.split(",")
+    stages = tuple(
+        parse_stage(tok, args, first=(i == 0)) for i, tok in enumerate(tokens)
+    )
+    stages = (replace(stages[0], scl=args.scl1),) + stages[1:]
+    spec = TrainSpec(
+        n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
+        n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
+        seed=args.seed, lr=args.lr, grid=args.grid,
+        deriv_loss=args.deriv_loss,
+        lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
+        testing_size=(256,) if problem.dim == 1 else (111, 111),
+    )
+
+    t0 = time.perf_counter()
+    res = train.run_training(problem, spec, print_log=not args.quiet)
+    wall = time.perf_counter() - t0
+
+    rec = {
+        "tag": args.tag,
+        "problem": args.problem,
+        "rel_l2": res.rel_l2,
+        "stages": [
+            {"r_rms": s.r_rms, "e_rms": s.e_rms, "scl": s.scl,
+             "epsil": s.epsil, "steps": int(s.history.shape[0])}
+            for s in res.stages
+        ],
+        "final_loss": float(res.history[-1, 0]),
+        "wall_secs": round(wall, 2),
+        "backend": jax.default_backend(),
+        "config": {k: v for k, v in vars(args).items()
+                   if k not in ("out_dir", "quiet")},
+    }
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / f"{args.tag}.json").write_text(json.dumps(rec, indent=2))
+    print(json.dumps({"tag": args.tag, "rel_l2": res.rel_l2,
+                      "wall_secs": round(wall, 2)}))
+
+
+if __name__ == "__main__":
+    main()

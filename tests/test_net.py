@@ -75,15 +75,27 @@ def test_stage_composition_frozen():
     spec1 = net.MLPSpec(depth=2, width=16)
     fm, params1, lb, ub = _setup(spec1)
     f1 = net.make_predictor(spec1, fm, lb, ub)
-    frozen = lambda z: f1(params1, z)
 
     spec2 = net.MLPSpec(depth=2, width=16, act_first="sin", scl=5.0, epsil=0.1)
     params2 = net.init_params(jax.random.PRNGKey(7), spec2, fm)
-    f2 = net.compose_stages(frozen, spec2, fm, lb, ub)
+    f2 = net.compose_stages(f1, spec2, fm, lb, ub)
+    params = net.compose_params(params2, params1)
     z = jax.random.uniform(jax.random.PRNGKey(2), (9, 2))
-    u2 = f2(params2, z)
+    u2 = f2(params, z)
     stage_only = net.make_predictor(spec2, fm, lb, ub)(params2, z)
-    np.testing.assert_allclose(u2, frozen(z) + stage_only, rtol=1e-6)
+    np.testing.assert_allclose(u2, f1(params1, z) + stage_only, rtol=1e-6)
+
+    # the previous stage is FROZEN: gradients into the prev subtree are
+    # exactly zero (stop_gradient threading, not closure capture)
+    g = jax.grad(lambda p: jnp.sum(f2(p, z) ** 2))(params)
+    assert all(
+        float(jnp.max(jnp.abs(x))) == 0.0
+        for x in jax.tree_util.tree_leaves(g["prev"])
+    )
+    assert any(
+        float(jnp.max(jnp.abs(x))) > 0.0
+        for x in jax.tree_util.tree_leaves(g["stage"])
+    )
 
 
 def test_fourier_and_modified_families():

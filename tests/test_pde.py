@@ -29,8 +29,7 @@ def test_parse_reference_grammar_superset():
     for s in valid:
         assert pde.validate_equation(s), s
 
-    # NOTE: a *superset* need only accept everything the reference accepts;
-    # unary +/- prefixes (which the reference rejects) are legal here.
+    # NOTE: unary +/- prefixes (which the reference rejects) are legal here.
     invalid = [
         "u_x+",         # trailing operator
         "u_q",          # unknown coordinate suffix
@@ -40,6 +39,17 @@ def test_parse_reference_grammar_superset():
     ]
     for s in invalid:
         assert not pde.validate_equation(s), s
+
+
+def test_reference_valid_but_meaningless_suffixes_rejected():
+    """Deliberate tightening vs the reference regex (pde.py module
+    docstring): the reference accepts ``u_`` + ANY two lowercase letters
+    (input_validation.py:40) because it never interprets the string; the
+    compiler must give it meaning, so non-coordinate suffixes are a parse
+    error with a precise message."""
+    with pytest.raises(pde.PDESyntaxError, match="not one of the coordinates"):
+        pde.parse("u_ab + u_x", coords=("x", "y"))
+    assert not pde.validate_equation("u_ab + u_x", coords=("x", "y"))
 
 
 def test_parse_extensions():

@@ -43,13 +43,12 @@ def test_taylor2_matches_generic(act, kinds):
 
 def test_taylor2_composed_stage():
     predictor1, params1, z, (spec, fm, lb, ub) = _setup()
-    frozen = taylor.attach_frozen_meta(
-        lambda zz: predictor1(params1, zz), predictor1, params1
-    )
     spec2 = net.MLPSpec(depth=2, width=16, act_first="sin", scl=4.0,
                         epsil=0.2)
-    predictor2 = net.compose_stages(frozen, spec2, fm, lb, ub)
-    params2 = net.init_params(jax.random.PRNGKey(5), spec2, fm)
+    predictor2 = net.compose_stages(predictor1, spec2, fm, lb, ub)
+    params2 = net.compose_params(
+        net.init_params(jax.random.PRNGKey(5), spec2, fm), params1
+    )
 
     fused = predictor2.tpinn_partials(params2, z, IDX)
     generic = deriv.partials(lambda zz: predictor2(params2, zz), z, IDX)

@@ -49,20 +49,38 @@ class PINNServer:
         raw = np.load(checkpoint)
         meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw \
             else {}
-        layer_keys = sorted(k for k in raw.files if k.endswith("/w"))
-        widths = [raw[k].shape for k in layer_keys]
-        inferred_depth = len(widths) - 1
-        inferred_width = widths[0][1]
-        spec = net.MLPSpec(
-            depth=depth or inferred_depth, width=width or inferred_width,
-            scl=float(meta.get("scl", 1.0)),
-            epsil=float(meta.get("epsil", 1.0)),
-        )
-        template = net.init_params(jax.random.PRNGKey(0), spec, fm)
+        lb = jnp.asarray(meta.get("lb", problem.lb))
+        ub = jnp.asarray(meta.get("ub", problem.ub))
+        if meta.get("feature_kinds"):
+            fm = net.feature_map_for(tuple(meta["feature_kinds"]))
+        if "chain" in meta:
+            # rebuild the full multilevel chain exactly as trained — every
+            # stage's act_first/scl/epsil comes from the saved spec, and the
+            # composed params are the checkpoint's nested {"stage","prev"}
+            # pytree (net.compose_stages threading)
+            specs = [net.spec_from_dict(d) for d in meta["chain"]]
+            predictor = net.make_predictor(specs[0], fm, lb, ub)
+            template = net.init_params(jax.random.PRNGKey(0), specs[0], fm)
+            for s in specs[1:]:
+                predictor = net.compose_stages(predictor, s, fm, lb, ub)
+                template = net.compose_params(
+                    net.init_params(jax.random.PRNGKey(0), s, fm), template
+                )
+        else:
+            # legacy checkpoint without a spec chain: infer a single plain
+            # MLP from the layer shapes
+            layer_keys = sorted(k for k in raw.files if k.endswith("/w"))
+            widths = [raw[k].shape for k in layer_keys]
+            spec = net.MLPSpec(
+                depth=depth or (len(widths) - 1),
+                width=width or widths[0][1],
+                scl=float(meta.get("scl", 1.0)),
+                epsil=float(meta.get("epsil", 1.0)),
+            )
+            template = net.init_params(jax.random.PRNGKey(0), spec, fm)
+            predictor = net.make_predictor(spec, fm, lb, ub)
         self.params, _ = ckpt.load_pytree(checkpoint, template)
-        self.predictor = net.make_predictor(
-            spec, fm, jnp.asarray(problem.lb), jnp.asarray(problem.ub)
-        )
+        self.predictor = predictor
         self._predict = jax.jit(self.predictor)
         self._residual = jax.jit(
             lambda p, z: self.compiled.residual_fast(self.predictor, p, z)

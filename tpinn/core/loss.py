@@ -79,7 +79,10 @@ def make_loss(
         data_errs = []
         for z_bd, u_bd in zip(data["x_bd"], data["u_bd"]):
             data_errs.append(ms_error(f_u(z_bd) - u_bd))
-        data_err = jnp.concatenate(data_errs) if data_errs else jnp.zeros((0,))
+        data_err = (
+            jnp.concatenate(data_errs) if data_errs
+            else jnp.zeros((0,), data["x_col"].dtype)  # keep dtype uniform in x64
+        )
 
         x_col = data["x_col"]
         f = residual_at(params, x_col)

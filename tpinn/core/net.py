@@ -239,26 +239,48 @@ def make_predictor(
 
 
 def compose_stages(
-    prev_fn: Callable[[Array], Array],
+    prev_predictor: Callable[[dict, Array], Array],
     spec: MLPSpec,
     feature_map: FeatureMap,
     lb: Array,
     ub: Array,
 ) -> Callable[[dict, Array], Array]:
-    """Multilevel predictor ``u(z) = u_prev(z) + epsil * NN(params, z)``.
+    """Multilevel predictor ``u(z) = u_prev(prev_params, z) + NN(params, z)``.
 
-    ``prev_fn`` is the *frozen* previous-stage solution (closure capture, as
-    in mNN_pred_create, software.py:221-234).
+    Mirrors mNN_pred_create (software.py:221-234) but — unlike the
+    reference's closure capture, which bakes the previous stage's weights
+    into the next stage's jitted graphs as compile-time constants (XLA
+    constant-folding warnings, bloated executables) — the frozen parameters
+    are threaded as *runtime arguments*: the composed predictor takes the
+    nested pytree ``{"stage": <this stage>, "prev": <previous chain>}`` and
+    stops gradients into the ``prev`` subtree, so optimizers see exact-zero
+    gradients there and the weights stay frozen.
     """
 
     stage_fn = make_predictor(spec, feature_map, lb, ub)
 
     def f_comb(params: dict, z: Array) -> Array:
-        return prev_fn(z) + stage_fn(params, z)
+        prev_u = prev_predictor(jax.lax.stop_gradient(params["prev"]), z)
+        return prev_u + stage_fn(params["stage"], z)
 
     from tpinn.core import taylor  # late import (taylor imports net)
 
-    return taylor.attach_sum_meta(f_comb, prev_fn, stage_fn)
+    return taylor.attach_sum_meta(f_comb, prev_predictor, stage_fn)
+
+
+def compose_params(stage_params, prev_params) -> dict:
+    """Parameter pytree for a composed predictor (see compose_stages)."""
+    return {"stage": stage_params, "prev": prev_params}
+
+
+def spec_to_dict(spec: MLPSpec) -> dict:
+    from dataclasses import asdict
+
+    return asdict(spec)
+
+
+def spec_from_dict(d: dict) -> MLPSpec:
+    return MLPSpec(**d)
 
 
 def num_params(params) -> int:

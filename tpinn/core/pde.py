@@ -23,9 +23,14 @@ The compiled residual is a pure traced function of ``(f_u, z)``; under jit,
 XLA fuses the tangent passes and the expression arithmetic into the MLP
 matmuls — no interpretation happens at run time.
 
-The accepted language is a strict superset of the reference validator's:
-every string the reference accepts parses here (tests/test_pde.py asserts
-this), plus functions, constants, ``t`` as a coordinate, and ``=``.
+The accepted language extends the reference validator's with functions,
+constants, ``t`` as a coordinate, and ``=`` — with one deliberate
+tightening: the reference's regex accepts ``u_`` followed by ANY one or two
+lowercase letters (input_validation.py:40, e.g. ``u_ab``), because it never
+has to give the string meaning.  This compiler must, so derivative suffixes
+are restricted to the problem's coordinates and anything else is rejected
+at parse time with a precise error (tests/test_pde.py asserts both the
+superset over meaningful reference strings and this rejection).
 """
 
 from __future__ import annotations

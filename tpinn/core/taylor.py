@@ -205,16 +205,18 @@ def attach_mlp_meta(predictor, spec: MLPSpec, fm: FeatureMap, lb, ub):
     return predictor
 
 
-def attach_sum_meta(predictor, frozen_prev, stage_predictor):
-    """Composed stage u = u_prev(z) + stage(params, z): partials of a sum
-    are sums of partials, provided both parts expose fused partials."""
-    prev_parts = getattr(frozen_prev, "tpinn_frozen_partials", None)
+def attach_sum_meta(predictor, prev_predictor, stage_predictor):
+    """Composed stage u = u_prev(params['prev'], z) + stage(params['stage'],
+    z): partials of a sum are sums of partials, provided both parts expose
+    fused partials.  The prev subtree rides through stop_gradient so the
+    fused path keeps the frozen-stage semantics of net.compose_stages."""
+    prev_parts = getattr(prev_predictor, "tpinn_partials", None)
     stage_parts = getattr(stage_predictor, "tpinn_partials", None)
 
     if prev_parts is not None and stage_parts is not None:
         def tpinn_partials(params, z, indices):
-            a = stage_parts(params, z, indices)
-            b = prev_parts(z, indices)
+            a = stage_parts(params["stage"], z, indices)
+            b = prev_parts(jax.lax.stop_gradient(params["prev"]), z, indices)
             return {k: a[k] + b[k] for k in a if k in b} | {
                 k: v for k, v in a.items() if k not in b
             }

@@ -99,6 +99,14 @@ class StageSpec:
     # and a larger set prevents the quasi-Newton steps from interpolating
     # the draw (see REPORT.md f64-polish study)
     lbfgs_sample_scale: float = 1.0
+    # if > 0: replace the L-BFGS phase's random draws with a DETERMINISTIC
+    # tensor grid of this resolution (g^dim interior points + g points per
+    # BC group along its box).  A dense regular grid finer than the net's
+    # representable frequency kills the aliasing failure mode outright: the
+    # polish cannot drive the sampled residual to zero while oscillating
+    # between points, because there is no "between points" below the net's
+    # bandwidth (REPORT.md f64-polish study).
+    lbfgs_grid: int = 0
     sample_scale: float = 1.0              # multiplies all sample counts
     fourier_features: int = 0
     fourier_scale: float = 1.0
@@ -295,10 +303,12 @@ def run_training(
         info_width += 1  # extra eqn_err column for the gradient term
     lw = jnp.asarray(spec.lw, dtype)
 
-    prev_frozen: Optional[Callable] = None
+    prev_predictor: Optional[Callable] = None
+    prev_params = None
     prev_diag: Optional[Tuple[float, Optional[float]]] = None
     stage_results: List[StageResult] = []
     histories: List[np.ndarray] = []
+    chain_specs: List[dict] = []  # per-stage MLPSpec dicts for checkpoint meta
 
     for si, st in enumerate(spec.stages):
         stage_no = si + 1
@@ -328,10 +338,17 @@ def run_training(
             fourier_scale=st.fourier_scale, modified=st.modified,
         )
         params = net.init_params(keys[4 * si], mspec, feature_map, dtype)
-        if prev_frozen is None:
+        chain_specs.append(net.spec_to_dict(mspec))
+        if prev_predictor is None:
             predictor = net.make_predictor(mspec, feature_map, lb, ub)
         else:
-            predictor = net.compose_stages(prev_frozen, mspec, feature_map, lb, ub)
+            # frozen previous-stage params are threaded as ARGUMENTS (the
+            # "prev" subtree, gradients stopped) rather than closure
+            # constants — see net.compose_stages
+            predictor = net.compose_stages(
+                prev_predictor, mspec, feature_map, lb, ub
+            )
+            params = net.compose_params(params, prev_params)
 
         # --- sampler (counts scaled per stage, software.py:959)
         sc = st.sample_scale
@@ -479,7 +496,18 @@ def run_training(
                 if jnp.issubdtype(x.dtype, jnp.floating) else x, t
             )
 
-            if st.lbfgs_sample_scale != 1.0:
+            grid_fixed = None
+            if st.lbfgs_grid:
+                grid_fixed = _grid_data(problem, st.lbfgs_grid, dtype)
+                if mesh is not None:
+                    from tpinn import parallel
+
+                    grid_fixed = parallel.shard_data(grid_fixed, mesh)
+                log(f"stage {stage_no}: L-BFGS on deterministic "
+                    f"{st.lbfgs_grid}^{problem.dim} grid "
+                    f"({grid_fixed['x_col'].shape[0]} pts)")
+                sample_fn_l = None
+            elif st.lbfgs_sample_scale != 1.0:
                 ls = st.lbfgs_sample_scale * sc
                 lcfg = sample.SamplerConfig(
                     n_col=int(spec.n_col * ls), n_band=int(spec.n_band * ls),
@@ -496,9 +524,12 @@ def run_training(
             hist_parts = []
             key_round = key_lbfgs
             for ri in range(rounds):
-                Fs = jax.jit(density_fn)(params)
-                key_round, sub = jax.random.split(key_round)
-                data_lbfgs = sample_fn_l(sub, Fs)
+                if grid_fixed is not None:
+                    data_lbfgs = grid_fixed
+                else:
+                    Fs = jax.jit(density_fn)(params)
+                    key_round, sub = jax.random.split(key_round)
+                    data_lbfgs = sample_fn_l(sub, Fs)
                 if lbfgs_dtype != dtype:
                     params = cast_to(params, lbfgs_dtype)
                     data_lbfgs = cast_to(data_lbfgs, lbfgs_dtype)
@@ -594,7 +625,13 @@ def run_training(
             save_pytree(
                 out / f"params_stage_{stage_no}.npz", params,
                 meta={"stage": stage_no, "scl": float(scl),
-                      "epsil": float(epsil), "problem": problem.name},
+                      "epsil": float(epsil), "problem": problem.name,
+                      # full spec chain (stage 1..N) so a serving process
+                      # can rebuild the composed predictor — including
+                      # act_first/scl/epsil of every stage
+                      "chain": chain_specs,
+                      "feature_kinds": list(problem.feature_kinds),
+                      "lb": list(problem.lb), "ub": list(problem.ub)},
             )
 
         stage_results.append(
@@ -604,7 +641,8 @@ def run_training(
                 U=U, F=F, scl=float(scl), epsil=float(epsil),
             )
         )
-        prev_frozen = frozen
+        prev_predictor = predictor
+        prev_params = params
         prev_diag = (r_rms, e_rms)
 
     final = stage_results[-1]
@@ -626,6 +664,30 @@ def _freeze(predictor, params):
 
     frozen = lambda z: predictor(params, z)
     return taylor.attach_frozen_meta(frozen, predictor, params)
+
+
+def _grid_data(problem: ProblemSpec, g: int, dtype) -> dict:
+    """Deterministic L-BFGS point set: g^dim tensor grid of collocation
+    points plus g evenly spaced points per BC group along its box (the
+    StageSpec.lbfgs_grid option)."""
+    axes = [
+        jnp.linspace(problem.lb[i], problem.ub[i], g, dtype=dtype)
+        for i in range(problem.dim)
+    ]
+    if problem.dim == 1:
+        x_col = axes[0][:, None]
+    else:
+        A, B = jnp.meshgrid(axes[0], axes[1])
+        x_col = jnp.stack([A.reshape(-1), B.reshape(-1)], axis=1)
+    x_bd, u_bd = [], []
+    for grp in problem.bc_groups:
+        lo = jnp.asarray(grp.lo, dtype)
+        hi = jnp.asarray(grp.hi, dtype)
+        ts = jnp.linspace(0.0, 1.0, g, dtype=dtype)[:, None]
+        pts = lo[None, :] + ts * (hi - lo)[None, :]
+        x_bd.append(pts)
+        u_bd.append(grp.target(pts))
+    return {"x_col": x_col, "x_bd": x_bd, "u_bd": u_bd}
 
 
 def _residual_with_source(compiled, source_fn, frozen, z):
