@@ -76,6 +76,7 @@ def main():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--grid", type=int, default=111)
     p.add_argument("--platform", default=None)
+    p.add_argument("--cpu-fallback", action="store_true")
     p.add_argument("--tag", required=True)
     p.add_argument("--out-dir", default="out/acc")
     p.add_argument("--quiet", action="store_true")
@@ -106,7 +107,7 @@ def main():
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
         seed=args.seed, lr=args.lr, grid=args.grid,
-        deriv_loss=args.deriv_loss,
+        deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )

@@ -126,6 +126,14 @@ def main():
         ),
     }
 
+    from dataclasses import replace as _replace
+
+    # campaign completion is best-effort per preset: opt into the (loudly
+    # logged) CPU retry rather than losing a whole preset to a tunneled-
+    # compiler crash; parent_main additionally isolates each preset in a
+    # subprocess for hard crashes
+    CAMPAIGN = {k: _replace(v, cpu_fallback=True) for k, v in CAMPAIGN.items()}
+
     only = set(args.only.split(",")) if args.only else None
     results = []
     for name, spec in CAMPAIGN.items():

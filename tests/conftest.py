@@ -32,6 +32,24 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running training test")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (full e2e trainings; ~10 extra minutes)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays fast: ``slow``-marked tests are skipped unless
+    --runslow is passed or an explicit -m expression selects them."""
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow e2e test; pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu():
     assert jax.devices()[0].platform == "cpu", (

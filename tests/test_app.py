@@ -43,6 +43,7 @@ def test_request_validation():
     assert missing.validate() is not None
 
 
+@pytest.mark.slow
 def test_controller_runs_training(tmp_path):
     mgr = SessionManager(str(tmp_path))
     sid = mgr.new_session_id()
@@ -108,6 +109,7 @@ def test_figure_payload_shapes(tmp_path):
     assert p["type"] == "heatmap_scatter" and len(p["points_x"]) == 40
 
 
+@pytest.mark.slow
 def test_lite_http_roundtrip(tmp_path):
     """Boot the lite server on an ephemeral port; validate + start + poll
     through real HTTP."""
@@ -176,6 +178,7 @@ def test_dash_app_gated():
         assert app is not None
 
 
+@pytest.mark.slow
 def test_cartesian_equation_through_ui_schema(tmp_path):
     """A user typing a cartesian equation gets cartesian coords/features —
     the reference would silently solve its hardcoded polar problem."""
@@ -215,6 +218,7 @@ def test_preset_payloads():
     assert p["domain"]["y_min"] == 0.0          # 1-D lifted to (x, t)
 
 
+@pytest.mark.slow
 def test_expression_bc_through_ui_schema(tmp_path):
     """heat equation with sin(pi*x) initial condition typed into the u box."""
     mgr = SessionManager(str(tmp_path))

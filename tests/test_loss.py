@@ -55,6 +55,7 @@ def test_engines_agree():
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_deriv_loss_term():
     """lw[1] weights a real residual-gradient term (the reference's dead
     'df' weight made live)."""

@@ -74,6 +74,7 @@ def test_sharded_grad_matches_single_device(mesh8):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_adam_phase_sharded(mesh8):
     """The complete on-chip Adam automaton runs under the mesh with sharded
     resampling inside the scan."""
@@ -132,6 +133,7 @@ def test_round_count(mesh8):
     assert parallel.round_count(104, mesh8) == 104
 
 
+@pytest.mark.slow
 def test_run_training_with_mesh(mesh8, tmp_path):
     """One-argument multi-chip training: the full pipeline under a mesh."""
     from tpinn.core.train import StageSpec, TrainSpec

@@ -4,6 +4,7 @@ residual (the reference's algorithm) and the forward-mode compiled path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpinn.core import net, pde, refmode
 
@@ -16,6 +17,7 @@ def _predictor():
     return net.make_predictor(spec, fm, lb, ub), params
 
 
+@pytest.mark.slow
 def test_reference_residual_matches_compiled():
     predictor, params = _predictor()
     z = jax.random.uniform(jax.random.PRNGKey(1), (80, 2), minval=0.2,

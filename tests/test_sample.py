@@ -95,6 +95,7 @@ def _mk_sampler():
     return sample.make_sampler(cfg, groups, lb=[0.1, 0.0], ub=[1.0, 1.0])
 
 
+@pytest.mark.slow
 def test_make_sampler_shapes_and_concat():
     fn, (R, T) = _mk_sampler()
     F = jnp.ones_like(R)

@@ -43,6 +43,7 @@ def test_poisson_1d_trains_to_low_error(tmp_path):
     assert hist[-1, 0] < hist[0, 0] * 1e-2
 
 
+@pytest.mark.slow
 def test_annulus_two_stage_artifact_contract(tmp_path):
     problem = problems.annulus_laplace()
     spec = _quick_spec(adam=150, lbfgs=60, stages=2)
@@ -103,6 +104,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_reference_schema_entry(tmp_path):
     """run_pinn_training drop-in accepts the reference kwarg schema
     (software.py:626-638, __main__ config :1143-1188) and actually uses the
@@ -128,6 +130,7 @@ def test_reference_schema_entry(tmp_path):
     assert res.rel_l2 is not None
 
 
+@pytest.mark.slow
 def test_resume_skips_trained_stages(tmp_path):
     """A finished stage's checkpoint is reloaded; its training is skipped
     and the final predictor is identical."""

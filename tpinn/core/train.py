@@ -146,6 +146,12 @@ class TrainSpec:
     # "cpu" pins the L-BFGS phase to the host CPU (f64 there is native
     # rather than TPU-emulated; also sidesteps accelerator-compiler bugs).
     lbfgs_device: Optional[str] = None
+    # Retry a phase on the host CPU when the accelerator runtime fails
+    # (observed through the tunneled v5e: compiler SIGILL, worker crashes).
+    # OFF by default — a silent 100×-slower "success" can mask real
+    # regressions (OOM, bad graphs); campaigns that want best-effort
+    # completion opt in explicitly, and the fallback logs loudly.
+    cpu_fallback: bool = False
 
     def with_default_stages(self, depth=6, width=50, adam=1000, lbfgs=1000):
         """Reference-like two stages: user net then 6×50 sin correction
@@ -451,10 +457,21 @@ def run_training(
             )
             try:
                 res = phase(key_adam, params, data0, F0, stage_lw, ref)
+                # force a host transfer HERE: execution is async and some
+                # runtimes (the tunneled axon PJRT) only surface device
+                # crashes at fetch time — without this the except below
+                # never fires and the error escapes the fallback
+                int(res.n_valid)
             except jax.errors.JaxRuntimeError as e:
                 # same flaky-TPU-compiler story as the L-BFGS fallback below
-                log(f"stage {stage_no}: Adam TPU compile failed "
-                    f"({str(e).splitlines()[0][:100]}); retrying on CPU")
+                if not spec.cpu_fallback:
+                    log(f"stage {stage_no}: Adam phase FAILED on "
+                        f"{jax.default_backend()} and cpu_fallback is off — "
+                        f"raising")
+                    raise
+                log(f"stage {stage_no}: *** Adam phase failed on the "
+                    f"accelerator ({str(e).splitlines()[0][:100]}); "
+                    f"RETRYING ON CPU — expect ~100x slower ***")
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
                     res = phase(
@@ -559,14 +576,19 @@ def run_training(
                                 ref_l, lbfgs_cfg,
                             )
                         )
+                        int(n_rows)  # sync: surface async device crashes here
                     except jax.errors.JaxRuntimeError as e:
                         # Observed on the tunneled v5e: the TPU compiler's
                         # fusion pass SIGILLs on some L-BFGS graphs.
-                        # Degrade gracefully: run this phase on the host
-                        # CPU and continue on-device after.
-                        log(f"stage {stage_no}: L-BFGS TPU compile failed "
+                        if not spec.cpu_fallback:
+                            log(f"stage {stage_no}: L-BFGS FAILED on "
+                                f"{jax.default_backend()} and cpu_fallback "
+                                f"is off — raising")
+                            raise
+                        log(f"stage {stage_no}: *** L-BFGS failed on the "
+                            f"accelerator "
                             f"({str(e).splitlines()[0][:100]}); "
-                            f"retrying on CPU")
+                            f"RETRYING ON CPU — expect ~100x slower ***")
                         params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
                 if lbfgs_dtype != dtype:
                     # return to the training dtype so later stages (frozen
