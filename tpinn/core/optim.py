@@ -62,6 +62,11 @@ class AdamConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # Upper bound on scan steps per device dispatch.  MEASURED (2026-08-16,
+    # tunneled v5e): the runtime hard-kills any single dispatch at 60s wall
+    # ("TPU worker process crashed or restarted") — long phases must be
+    # split into bounded dispatches.  2000 steps ≈ 8s at the flagship batch.
+    max_chunk: int = 2000
 
 
 class AdamPhaseResult(NamedTuple):
@@ -173,14 +178,15 @@ def make_adam_phase(
         return jax.lax.scan(body_for(lw, ref), state, steps)
 
     @jax.jit
-    def run_tail(state, lw, ref, lmin, llast):
+    def run_tail(state, lw, ref, lmin, llast, n_tail0, tail_buf, i_end):
+        """One bounded dispatch of the tail loop (resumable: carries the
+        tail buffer and step count so the host can chunk it under the
+        runtime's dispatch deadline)."""
         params, opt_state, data, F, key, ring = state
-        tail_buf = jnp.zeros((config.tail_max, info_width),
-                             jnp.result_type(lmin))
 
         def tail_cond(s):
             params, opt_state, llast, i, tail_buf = s
-            return (llast >= lmin) & (i < config.tail_max)
+            return (llast >= lmin) & (i < i_end)
 
         def tail_body(s):
             params, opt_state, llast, i, tail_buf = s
@@ -194,9 +200,10 @@ def make_adam_phase(
 
         params, opt_state, llast, n_tail, tail_buf = jax.lax.while_loop(
             tail_cond, tail_body,
-            (params, opt_state, llast, jnp.int32(0), tail_buf),
+            (params, opt_state, llast, n_tail0, tail_buf),
         )
-        return (params, opt_state, data, F, key, ring), tail_buf, n_tail
+        return ((params, opt_state, data, F, key, ring), tail_buf, n_tail,
+                llast)
 
     def phase(key, params, data, F, lw, ref) -> AdamPhaseResult:
         import numpy as _np
@@ -206,9 +213,12 @@ def make_adam_phase(
         ring0 = jnp.zeros((ring_n,), f_dtype)
         state = (params, opt_state, data, F, key, ring0)
 
-        chunk = config.epochs if log_fn is None else max(
+        # chunked dispatches: bounded by max_chunk (runtime dispatch
+        # deadline, see AdamConfig.max_chunk) and by the log cadence
+        base = config.epochs if log_fn is None else max(
             config.log_every * 10, 1
         )
+        chunk = max(1, min(base, config.max_chunk))
         chunks = []
         done = 0
         while done < config.epochs:
@@ -234,7 +244,18 @@ def make_adam_phase(
 
         lmin = jnp.min(hist_scan[-tail_window:, 0])
         llast = hist_scan[-1, 0]
-        state, tail_buf, n_tail = run_tail(state, lw, ref, lmin, llast)
+        tail_buf = jnp.zeros((config.tail_max, info_width),
+                             jnp.result_type(lmin))
+        n_tail = jnp.int32(0)
+        tail_done = 0
+        while tail_done < config.tail_max:
+            i_end = jnp.int32(min(tail_done + chunk, config.tail_max))
+            state, tail_buf, n_tail, llast = run_tail(
+                state, lw, ref, lmin, llast, n_tail, tail_buf, i_end
+            )
+            tail_done = int(n_tail)
+            if float(llast) < float(lmin) or tail_done < int(i_end):
+                break  # tail condition met inside this chunk
         params, opt_state, data, F, key, ring = state
         lr = opt_state.hyperparams["learning_rate"]
         history = jnp.concatenate([hist_scan, tail_buf], axis=0)
@@ -258,6 +279,9 @@ class LBFGSConfig:
     c2: float = 0.9                # curvature (strong Wolfe)
     max_linesearch: int = 20
     max_bracket: int = 10
+    # Iterations per device dispatch (the tunneled runtime kills any single
+    # dispatch at 60s wall — see AdamConfig.max_chunk).  0 = unchunked.
+    chunk_iters: int = 100
 
 
 class LBFGSResult(NamedTuple):
@@ -425,28 +449,14 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
     return s["a_acc"], s["f_acc"], s["g_acc"], s["info_acc"], ok
 
 
-def lbfgs_minimize(
-    value_and_grad_fn: Callable,
-    x0: Array,
-    config: LBFGSConfig,
-) -> LBFGSResult:
-    """Minimize ``f(x)`` over a flat parameter vector, purely in XLA.
-
-    :param value_and_grad_fn: ``x -> (f, g, loss_info)`` — the aux
-        ``loss_info`` row of each accepted iterate is recorded in
-        ``history`` (the reference harvests these via jax.debug.callback
-        side effects, software.py:485-488; here they are a first-class
-        output).
-    """
+def _lbfgs_init_state(value_and_grad_fn, x0, config: LBFGSConfig):
     m = config.memory
     n = x0.shape[0]
-    f0, g0, info0 = value_and_grad_fn(x0)
+    f0, g0, info0 = jax.jit(value_and_grad_fn)(x0)
     dtype = f0.dtype
-
     hist = jnp.zeros((config.max_iters + 1, info0.shape[0]), info0.dtype)
     hist = hist.at[0].set(info0)
-
-    state = {
+    return {
         "x": x0,
         "f": f0,
         "g": g0,
@@ -464,8 +474,15 @@ def lbfgs_minimize(
         "hist": hist,
     }
 
+
+def _lbfgs_advance(value_and_grad_fn, state, it_end, config: LBFGSConfig):
+    """Run L-BFGS iterations until ``done`` or ``it == it_end`` — ONE
+    bounded device dispatch of the resumable state machine."""
+    m = config.memory
+    dtype = state["f"].dtype
+
     def cond(s):
-        return (~s["done"]) & (s["it"] < config.max_iters)
+        return (~s["done"]) & (s["it"] < it_end)
 
     def body(s):
         d = _two_loop(
@@ -528,7 +545,49 @@ def lbfgs_minimize(
             "hist": hist,
         }
 
-    s = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def lbfgs_minimize(
+    value_and_grad_fn: Callable,
+    x0: Array,
+    config: LBFGSConfig,
+) -> LBFGSResult:
+    """Minimize ``f(x)`` over a flat parameter vector, purely in XLA.
+
+    :param value_and_grad_fn: ``x -> (f, g, loss_info)`` — the aux
+        ``loss_info`` row of each accepted iterate is recorded in
+        ``history`` (the reference harvests these via jax.debug.callback
+        side effects, software.py:485-488; here they are a first-class
+        output).
+
+    Execution is CHUNKED: at most ``config.chunk_iters`` iterations run per
+    device dispatch (jitted resumable state machine), with a scalar sync
+    between chunks — the tunneled TPU runtime kills single dispatches at
+    60s wall.  ``chunk_iters=0`` runs everything in one dispatch (the
+    original behavior; fine inside an outer jit or on CPU).
+    """
+    state = _lbfgs_init_state(value_and_grad_fn, x0, config)
+
+    if config.chunk_iters <= 0:
+        s = _lbfgs_advance(
+            value_and_grad_fn, state, jnp.int32(config.max_iters), config
+        )
+    else:
+        advance = jax.jit(
+            lambda s, it_end: _lbfgs_advance(
+                value_and_grad_fn, s, it_end, config
+            )
+        )
+        s = state
+        it_target = min(config.chunk_iters, config.max_iters)
+        while True:
+            s = advance(s, jnp.int32(it_target))
+            # host sync on two scalars: chunk boundary + crash surfacing
+            if bool(s["done"]) or int(s["it"]) >= config.max_iters:
+                break
+            it_target = min(it_target + config.chunk_iters, config.max_iters)
+
     converged = jnp.max(jnp.abs(s["g"])) <= config.tolerance
     return LBFGSResult(
         x=s["x"], f=s["f"], g=s["g"], history=s["hist"],
@@ -561,5 +620,6 @@ def lbfgs_over_pytree(
         gflat = jax.flatten_util.ravel_pytree(grads)[0]
         return loss_n, gflat, info
 
-    result = jax.jit(lambda x: lbfgs_minimize(vg, x, config))(flat0)
+    # lbfgs_minimize manages its own (chunked) jit dispatches
+    result = lbfgs_minimize(vg, flat0, config)
     return unravel(result.x), result.history, result.n_rows
