@@ -13,6 +13,19 @@ Setup (matches the reference's smoke-config scale, BASELINE.md):
 - step: full Adam training step (residual + BC losses, grad, optax update)
   with on-device resampling — executed as the scanned on-chip phase.
 
+Methodology (round 2):
+- value = MEDIAN of --repeats (default 5) timed runs of the compiled
+  400-step phase; the spread is reported on stderr and in the details file.
+- every timed section syncs via a HOST TRANSFER of a scalar, not
+  jax.block_until_ready — the tunneled TPU runtime does not reliably block
+  there (measured 2026-08-16).
+- an MFU estimate accompanies the headline: model FLOPs of the fused
+  Taylor-2 formulation (S stacked streams through the dense chain, ×3 for
+  the backward) against the v5e bf16 peak (197 TFLOP/s) — conservative,
+  since the step runs full-f32 ("highest") matmuls.
+- --full additionally measures the batch-scaling curve and the loss-engine
+  comparison (auto/fused/kernel) and writes out/bench_details.json.
+
 Baseline: the reference solver itself cannot run here (tensorflow-
 probability and pyDOE are not installed), so the baseline is measured from
 tpinn.core.refmode — a faithful reimplementation of its hot-path semantics
@@ -23,8 +36,10 @@ reference solver (CPU)" instruction.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -32,6 +47,7 @@ import time
 N_COL, N_BAND, N_ADAPT, N_BD = 3000, 1000, 1000, 100
 DEPTH, WIDTH = 6, 60
 BATCH = N_COL + N_BAND + N_ADAPT + 2 * N_BD   # 5200
+V5E_PEAK_FLOPS = 197e12  # bf16; f32 multi-pass matmuls top out lower
 
 
 def _enable_compile_cache():
@@ -48,45 +64,51 @@ def _enable_compile_cache():
         pass
 
 
-def build(dtype):
+def model_flops_per_point(depth=DEPTH, width=WIDTH, n_features=3,
+                          n_streams=5, out_dim=1):
+    """Model FLOPs of one training step per collocation point: the fused
+    Taylor-2 stream pass (n_streams stacked rows per point through the
+    dense chain), ×3 for reverse mode (grad wrt W needs H^T·dX and dH·W^T
+    matmuls of the same shape)."""
+    sizes = [n_features] + [width] * depth + [out_dim]
+    mm = sum(2 * a * b for a, b in zip(sizes[:-1], sizes[1:]))
+    return 3 * n_streams * mm
+
+
+def build_phase(batch_scale=1.0, engine="auto", steps=400):
     import jax
     import jax.numpy as jnp
 
     from tpinn import problems
     from tpinn.core import loss as loss_mod
-    from tpinn.core import net, pde, sample, train
+    from tpinn.core import net, optim, pde, sample, train
 
     problem = problems.annulus_laplace()
     compiled = pde.compile_pde(problem.equation, problem.coords)
     fm = net.feature_map_for(problem.feature_kinds)
     spec = net.MLPSpec(depth=DEPTH, width=WIDTH)
-    params = net.init_params(jax.random.PRNGKey(0), spec, fm, dtype)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm, jnp.float32)
     predictor = net.make_predictor(
-        spec, fm, jnp.asarray(problem.lb, dtype), jnp.asarray(problem.ub, dtype)
+        spec, fm, jnp.asarray(problem.lb, jnp.float32),
+        jnp.asarray(problem.ub, jnp.float32),
     )
-    cfg = sample.SamplerConfig(n_col=N_COL, n_band=N_BAND, n_adaptive=N_ADAPT,
-                               n_bd=N_BD)
+    s = batch_scale
+    cfg = sample.SamplerConfig(
+        n_col=int(N_COL * s), n_band=int(N_BAND * s),
+        n_adaptive=int(N_ADAPT * s), n_bd=int(N_BD * s),
+    )
     sample_fn, grids = sample.make_sampler(
-        cfg, problem.bc_groups, problem.lb, problem.ub, dtype
+        cfg, problem.bc_groups, problem.lb, problem.ub, jnp.float32
     )
-    return problem, compiled, params, predictor, sample_fn, grids
-
-
-def bench_tpu(steps=400):
-    """Scanned Adam phase on the default device (TPU when present)."""
-    import jax
-    import jax.numpy as jnp
-
-    from tpinn.core import loss as loss_mod
-    from tpinn.core import optim, train
-
-    problem, compiled, params, predictor, sample_fn, grids = build(jnp.float32)
-    loss_fn = loss_mod.make_loss(predictor, compiled)
+    batch = int(N_COL * s) + int(N_BAND * s) + int(N_ADAPT * s) \
+        + 2 * int(N_BD * s)
+    loss_fn = loss_mod.make_loss(predictor, compiled, engine=engine)
     density_fn = train.make_density_fn(predictor, compiled, grids)
-    cfg = optim.AdamConfig(epochs=steps, resample_every=100,
-                           density_every=2000, plateau_every=4000, tail_max=0)
+    acfg = optim.AdamConfig(epochs=steps, resample_every=100,
+                            density_every=2000, plateau_every=4000,
+                            tail_max=0)
     phase = optim.make_adam_phase(
-        loss_fn, sample_fn, density_fn, cfg,
+        loss_fn, sample_fn, density_fn, acfg,
         info_width=loss_mod.loss_info_width(2),
     )
     F0 = jnp.ones_like(grids[0])
@@ -94,19 +116,36 @@ def bench_tpu(steps=400):
     lw = jnp.array([0.05, 0.0], jnp.float32)
     ref = jnp.array(1.0, jnp.float32)
 
-    # warmup/compile
-    res = phase(jax.random.PRNGKey(2), params, data0, F0, lw, ref)
-    jax.block_until_ready(res.params)
+    def run(key):
+        res = phase(key, params, data0, F0, lw, ref)
+        # sync via host transfer (block_until_ready is unreliable through
+        # the tunneled attachment)
+        float(res.history[-1, 0])
+        return res
 
-    t0 = time.perf_counter()
-    res = phase(jax.random.PRNGKey(3), params, data0, F0, lw, ref)
-    jax.block_until_ready(res.params)
-    dt = time.perf_counter() - t0
-    pts_per_sec = steps * BATCH / dt
-    dev = jax.devices()[0]
-    print(f"[bench] device={dev} steps={steps} batch={BATCH} "
-          f"time={dt:.3f}s -> {pts_per_sec:,.0f} pts/s", file=sys.stderr)
-    return pts_per_sec
+    return run, batch
+
+
+def timed_phase(batch_scale=1.0, engine="auto", steps=400, repeats=5):
+    import jax
+
+    run, batch = build_phase(batch_scale, engine, steps)
+    run(jax.random.PRNGKey(2))  # compile + warm
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(3 + i))
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    return {
+        "batch": batch,
+        "steps": steps,
+        "median_s": round(med, 4),
+        "min_s": round(min(times), 4),
+        "max_s": round(max(times), 4),
+        "pts_per_sec": round(steps * batch / med, 1),
+        "ms_per_step": round(med / steps * 1e3, 4),
+    }
 
 
 _BASELINE_SNIPPET = r"""
@@ -136,12 +175,12 @@ opt, step = refmode.make_reference_adam_step(loss_fn)
 opt_state = opt.init(params)
 lw = jnp.array([0.05, 0.0]); ref = jnp.array(1.0)
 params, opt_state, info = step(params, opt_state, data, lw, ref)
-jax.block_until_ready(info)          # compile
+float(info[0])          # compile + sync
 n = {steps}
 t0 = time.perf_counter()
 for _ in range(n):                   # per-step dispatch, as the reference runs
     params, opt_state, info = step(params, opt_state, data, lw, ref)
-jax.block_until_ready(info)
+float(info[0])
 dt = time.perf_counter() - t0
 print(json.dumps({{"pts_per_sec": n * {batch} / dt, "secs": dt}}))
 """
@@ -169,14 +208,83 @@ def bench_cpu_reference(steps=30):
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", action="store_true",
+                   help="add batch-scaling curve + engine comparison; "
+                        "write out/bench_details.json")
+    p.add_argument("--repeats", type=int, default=5)
+    args = p.parse_args()
+
     _enable_compile_cache()
+    import jax
+
     baseline = bench_cpu_reference()
-    value = bench_tpu()
+
+    head = timed_phase(repeats=args.repeats)
+    fpp = model_flops_per_point()
+    achieved = head["pts_per_sec"] * fpp
+    mfu = achieved / V5E_PEAK_FLOPS
+    dev = jax.devices()[0]
+    print(f"[bench] device={dev} steps={head['steps']} batch={head['batch']} "
+          f"median {head['median_s']:.3f}s "
+          f"(spread {head['min_s']:.3f}-{head['max_s']:.3f}) "
+          f"-> {head['pts_per_sec']:,.0f} pts/s | "
+          f"{fpp / 1e3:.1f} kFLOP/pt, {achieved / 1e12:.2f} TFLOP/s, "
+          f"MFU {mfu * 100:.1f}% of bf16 peak", file=sys.stderr)
+
+    details = {
+        "device": str(dev),
+        "baseline_pts_per_sec": round(baseline, 1),
+        "headline": head,
+        "model_flops_per_point": fpp,
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_vs_bf16_peak": round(mfu, 4),
+    }
+
+    if args.full:
+        scaling = []
+        for scale in (1.0, 5.0, 20.0, 80.0):
+            steps = max(50, int(400 / scale))
+            row = timed_phase(batch_scale=scale, steps=steps,
+                              repeats=max(3, args.repeats - 2))
+            row["achieved_tflops"] = round(
+                row["pts_per_sec"] * fpp / 1e12, 3
+            )
+            row["mfu_vs_bf16_peak"] = round(
+                row["pts_per_sec"] * fpp / V5E_PEAK_FLOPS, 4
+            )
+            print(f"[bench] scale x{scale:g}: batch={row['batch']} "
+                  f"{row['pts_per_sec']:,.0f} pts/s "
+                  f"({row['ms_per_step']:.2f} ms/step, "
+                  f"MFU {row['mfu_vs_bf16_peak'] * 100:.1f}%)",
+                  file=sys.stderr)
+            scaling.append(row)
+        details["scaling"] = scaling
+
+        engines = {}
+        for engine in ("auto", "fused", "kernel"):
+            try:
+                engines[engine] = timed_phase(engine=engine, steps=200,
+                                              repeats=3)
+                print(f"[bench] engine={engine}: "
+                      f"{engines[engine]['pts_per_sec']:,.0f} pts/s",
+                      file=sys.stderr)
+            except Exception as e:
+                engines[engine] = {"error": str(e).splitlines()[0][:200]}
+                print(f"[bench] engine={engine} failed: "
+                      f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
+        details["engines"] = engines
+
+        os.makedirs("out", exist_ok=True)
+        with open("out/bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+        print("[bench] details -> out/bench_details.json", file=sys.stderr)
+
     print(json.dumps({
         "metric": "collocation_pts_per_sec_per_chip",
-        "value": round(value, 1),
+        "value": head["pts_per_sec"],
         "unit": "pts/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(head["pts_per_sec"] / baseline, 2),
     }))
 
 

@@ -40,13 +40,17 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Default suite stays fast: ``slow``-marked tests are skipped unless
-    --runslow is passed or an explicit -m expression selects them."""
-    if config.getoption("--runslow") or config.getoption("-m"):
-        return
+    """Default suite stays fast and CPU-only: ``slow`` tests are skipped
+    unless --runslow (or an explicit -m) selects them, and ``tpu`` tests
+    always need an explicit ``-m tpu`` (this suite pins JAX to CPU)."""
+    skip_tpu = pytest.mark.skip(reason="needs real TPU; run pytest -m tpu")
+    explicit_m = bool(config.getoption("-m"))
     skip_slow = pytest.mark.skip(reason="slow e2e test; pass --runslow")
     for item in items:
-        if "slow" in item.keywords:
+        if "tpu" in item.keywords and not explicit_m:
+            item.add_marker(skip_tpu)
+        elif ("slow" in item.keywords and not explicit_m
+              and not config.getoption("--runslow")):
             item.add_marker(skip_slow)
 
 

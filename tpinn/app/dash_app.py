@@ -41,12 +41,32 @@ def _require_dash():
         ) from e
 
 
-TAB_LABELS = [
+# two tab rows as in the reference (6 stage-1 + 5 stage-2, layout.py:493-517)
+TAB_ROW_1 = [
     ("colloc_1", "Collocation 1"), ("solution_1", "Solution 1"),
     ("error_1", "Error 1"), ("loss_1", "Loss 1"),
     ("boundary_1", "Boundary 1"), ("spectrum", "Spectrum"),
+]
+TAB_ROW_2 = [
     ("colloc_2", "Collocation 2"), ("solution_2", "Solution 2"),
     ("error_2", "Error 2"), ("loss_2", "Loss 2"), ("boundary_2", "Boundary 2"),
+]
+TAB_LABELS = TAB_ROW_1 + TAB_ROW_2
+
+# the equation-grammar hint of the reference tooltip (layout.py:114-121)
+GRAMMAR_HINT = (
+    "Allowed: numbers, coordinates r t x y, u and derivatives u_r, u_rr, "
+    "u_rt…, operators + - * / ** ( ), functions sin cos tan exp log sqrt "
+    "tanh sinh cosh abs, constants pi e, optional 'lhs = rhs'."
+)
+
+# static input ids gated by toggle_all (the reference disables all 27+
+# inputs while training runs, training.py:121-267)
+FIELD_KEYS = ("x-min", "x-max", "y-min", "y-max", "scl", "epsil", "n-col",
+              "n-bd", "n-add", "depth", "width", "test-x", "test-y", "adam",
+              "lbfgs", "wf", "wdf")
+GATED_IDS = ["input-equation"] + [f"input-{k}" for k in FIELD_KEYS] + [
+    "btn-add-bd", "btn-del-bd",
 ]
 
 
@@ -132,6 +152,8 @@ def create_app(data_root: str = "data"):
         html.H3("tpinn — PINN-based online PDE calculator"),
         dbc.Input(id="input-equation", value="u_rr + 1/r*u_r + 1/r**2*u_tt",
                   type="text"),
+        dbc.Tooltip(GRAMMAR_HINT, target="input-equation",
+                    placement="bottom", id="equation-tooltip"),
         html.Div(id="bd-groups", children=[make_bd_group(1), make_bd_group(2)]),
         dbc.Button("+", id="btn-add-bd", size="sm"),
         dbc.Button("−", id="btn-del-bd", size="sm"),
@@ -145,15 +167,34 @@ def create_app(data_root: str = "data"):
                 ("adam", 1000), ("lbfgs", 1000), ("wf", 0.05), ("wdf", 0.0),
             ]
         ],
-        dbc.Button("Start Training", id="btn-start-training", color="primary"),
-        dcc.Tabs(id="result-tabs", value="loss_1", children=[
-            dcc.Tab(label=lbl, value=key) for key, lbl in TAB_LABELS
+        dbc.Button("Start Training", id="btn-start-training", color="primary",
+                   disabled=False),
+        dcc.Tabs(id="result-tabs-1", value="loss_1", children=[
+            dcc.Tab(label=lbl, value=key) for key, lbl in TAB_ROW_1
         ]),
+        dcc.Tabs(id="result-tabs-2", value=None, children=[
+            dcc.Tab(label=lbl, value=key) for key, lbl in TAB_ROW_2
+        ]),
+        html.Div(id="graph-subtitle"),
         dcc.Graph(id="result-graph"),
         html.Pre(id="training-log"),
         dcc.Interval(id="log-interval", interval=1000),
         dcc.Interval(id="fig-interval", interval=1000),
     ])
+
+    # clientside autoscroll of the log box (the reference embeds the same
+    # JS snippet, layout.py:570-582)
+    app.clientside_callback(
+        """
+        function(children) {
+            var el = document.getElementById('training-log');
+            if (el) { el.scrollTop = el.scrollHeight; }
+            return window.dash_clientside.no_update;
+        }
+        """,
+        Output("training-log", "title"),
+        Input("training-log", "children"),
+    )
 
     @app.callback(Output("session-id", "data"), Input("session-id", "data"))
     def assign_session(data):
@@ -227,13 +268,64 @@ def create_app(data_root: str = "data"):
                 return f"ERROR: {err}"
         return manager.status(session)["log"]
 
+    @app.callback(
+        [Output(i, "disabled") for i in GATED_IDS]
+        + [Output({"type": t, "index": ALL}, "disabled") for t in
+           ("bd-x-min", "bd-x-max", "bd-y-min", "bd-y-max", "bd-u")]
+        + [Output("btn-start-training", "disabled")],
+        Input("log-interval", "n_intervals"),
+        Input("input-equation", "value"),
+        State("session-id", "data"),
+        State({"type": "bd-x-min", "index": ALL}, "value"),
+        State({"type": "bd-x-max", "index": ALL}, "value"),
+        State({"type": "bd-y-min", "index": ALL}, "value"),
+        State({"type": "bd-y-max", "index": ALL}, "value"),
+        State({"type": "bd-u", "index": ALL}, "value"),
+        *[State(f"input-{k}", "value") for k in FIELD_KEYS],
+    )
+    def toggle_all(n_int, equation, session, bxmin, bxmax, bymin, bymax, bu,
+                   *fields):
+        """Input gating (the reference's toggle_all, training.py:121-267):
+        every input disabled while training runs; Start enabled only when
+        all fields are non-empty and the equation is valid."""
+        running = manager.status(session or "default")["status"] == "running"
+        bd_lists = [bxmin, bxmax, bymin, bymax, bu]
+        empty = lambda v: v is None or v == ""
+        filled = (
+            not empty(equation)
+            and all(not empty(v) for v in fields)
+            and all(vs and not any(empty(v) for v in vs) for vs in bd_lists)
+        )
+        eq_ok = bool(equation) and pde.validate_equation(
+            equation, coords=("r", "t", "x", "y")
+        )
+        start_disabled = running or not (filled and eq_ok)
+        gated = [running] * len(GATED_IDS)
+        bd_gated = [[running] * len(vs) for vs in bd_lists]
+        return gated + bd_gated + [start_disabled]
+
     @app.callback(Output("result-graph", "figure"),
-                  Input("result-tabs", "value"),
+                  Output("graph-subtitle", "children"),
+                  Output("result-tabs-1", "value"),
+                  Output("result-tabs-2", "value"),
+                  Input("result-tabs-1", "value"),
+                  Input("result-tabs-2", "value"),
                   Input("fig-interval", "n_intervals"),
                   State("session-id", "data"))
-    def update_result_graph(tab, n, session):
-        payload = figure_payload(manager.session_dir(session or "default"), tab)
-        return payload_to_figure(payload)
+    def update_result_graph(tab1, tab2, n, session):
+        """Two-row tab exclusivity (result_graph.py:102-118): selecting a
+        tab in one row clears the other row's selection."""
+        trig = dash.callback_context.triggered_id
+        if trig == "result-tabs-1" and tab1:
+            tab2 = None
+        elif trig == "result-tabs-2" and tab2:
+            tab1 = None
+        active = tab1 or tab2 or "loss_1"
+        payload = figure_payload(
+            manager.session_dir(session or "default"), active
+        )
+        subtitle = dict(TAB_LABELS).get(active, active)
+        return payload_to_figure(payload), subtitle, tab1, tab2
 
     return app
 

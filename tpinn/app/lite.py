@@ -93,18 +93,21 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
 </div>
 <div id="right">
  <div class="card"><h3>Results</h3>
-  <div class="tabs" id="tabs"></div>
+  <div id="tabs"></div>
   <div id="figtitle" class="legend"></div>
   <canvas id="plot" width="900" height="520"></canvas>
  </div>
 </div>
 </main>
 <script>
-const TABS = [
- ["colloc_1","Colloc 1"],["solution_1","Solution 1"],["error_1","Error 1"],
- ["loss_1","Loss 1"],["boundary_1","Boundary 1"],["spectrum","Spectrum"],
- ["colloc_2","Colloc 2"],["solution_2","Solution 2"],["error_2","Error 2"],
- ["loss_2","Loss 2"],["boundary_2","Boundary 2"]];
+// two tab rows, as the reference lays them out (6 stage-1 + 5 stage-2 tabs,
+// layout.py:493-517) with cross-row exclusivity (result_graph.py:102-118)
+const TAB_ROWS = [
+ [["colloc_1","Colloc 1"],["solution_1","Solution 1"],["error_1","Error 1"],
+  ["loss_1","Loss 1"],["boundary_1","Boundary 1"],["spectrum","Spectrum"]],
+ [["colloc_2","Colloc 2"],["solution_2","Solution 2"],["error_2","Error 2"],
+  ["loss_2","Loss 2"],["boundary_2","Boundary 2"]]];
+const TABS = TAB_ROWS.flat();
 let session = sessionStorage.getItem("tpinn-session");
 if(!session){session = crypto.randomUUID().replaceAll("-","");
  sessionStorage.setItem("tpinn-session",session);}
@@ -156,12 +159,32 @@ async function loadPreset(){
  eqInput.dispatchEvent(new Event("input"));
 }
 
+// ---------- input gating (toggle_all parity, training.py:121-267) ----------
+// Start is enabled only when EVERY field is non-empty and the equation is
+// valid; while training runs every input is disabled.
+let eqValid = true, running = false;
+function formReady(){
+ if(!eqValid) return false;
+ for(const el of document.querySelectorAll("#left input"))
+  if(el.value.trim()==="") return false;
+ return true;
+}
+function gate(){
+ for(const el of document.querySelectorAll("#left input, #left select, #left button.small"))
+  el.disabled = running;
+ document.getElementById("start").disabled = running || !formReady();
+}
+document.getElementById("left").addEventListener("input", gate);
+
 const eqInput = document.getElementById("equation");
 eqInput.addEventListener("input", async () => {
  const r = await fetch("/api/validate?eq="+encodeURIComponent(eqInput.value));
  const d = await r.json();
+ eqValid = d.valid;
  eqInput.classList.toggle("invalid", !d.valid);
+ gate();
 });
+gate();
 
 async function start(){
  const g = id => document.getElementById(id).value;
@@ -188,7 +211,7 @@ async function start(){
  const r = await fetch("/api/start",{method:"POST",body:JSON.stringify(req)});
  const d = await r.json();
  if(d.error){ alert(d.error); return; }
- document.getElementById("start").disabled = true;
+ running = true; gate();
 }
 
 async function poll(){
@@ -197,18 +220,24 @@ async function poll(){
  document.getElementById("status").textContent = d.status;
  const log = document.getElementById("log");
  log.textContent = d.log;
- log.scrollTop = log.scrollHeight;
- document.getElementById("start").disabled = (d.status === "running");
+ log.scrollTop = log.scrollHeight;   // clientside autoscroll (layout.py:570-582)
+ running = (d.status === "running");
+ gate();
 }
 setInterval(poll, 1000);
 
 function tabsInit(){
  const holder = document.getElementById("tabs");
- for(const [key,label] of TABS){
-  const el = document.createElement("div");
-  el.className = "tab"; el.textContent = label; el.id = "tab-"+key;
-  el.onclick = () => { active = key; render(); markTabs(); };
-  holder.appendChild(el);
+ for(const row of TAB_ROWS){
+  const rowEl = document.createElement("div");
+  rowEl.className = "tabs";
+  for(const [key,label] of row){
+   const el = document.createElement("div");
+   el.className = "tab"; el.textContent = label; el.id = "tab-"+key;
+   el.onclick = () => { active = key; render(); markTabs(); };
+   rowEl.appendChild(el);
+  }
+  holder.appendChild(rowEl);
  }
  markTabs();
 }

@@ -55,11 +55,30 @@ def make_loss(
         (:354, :359-361), which is why its UI "df" weight is dead; here it
         is a real, optional term.  Adds one eqn_err column per coordinate.
     :param engine: "auto" (structure-aware fused Taylor-2 when available),
-        "generic" (nested-jvp), or "fused" (require the fused path).
+        "generic" (nested-jvp), "fused" (require the fused pure-JAX path),
+        or "kernel" (Pallas forward+backward via custom_vjp,
+        tpinn.kernels.taylor_vjp — plain dense predictors only).
     :returns: loss function with the reference's loss_info layout
         ``[loss, loss_data, loss_eqn, data_err_1..G, eqn_err...]``.
     """
     from tpinn.core import deriv as deriv_mod
+
+    if engine == "kernel":
+        if deriv_loss:
+            # the kernel's custom_vjp returns zero z-cotangents and has no
+            # JVP rule; the residual-gradient term needs forward-mode in z
+            raise ValueError("engine='kernel' cannot serve deriv_loss; "
+                             "use 'auto' or 'generic'")
+        if not hasattr(predictor, "tpinn_spec"):
+            raise ValueError("engine='kernel' needs a plain dense predictor "
+                             "(make_predictor); composed/fourier/modified "
+                             "families use 'auto'")
+        from tpinn.kernels.taylor_vjp import make_kernel_partials
+
+        kernel_partials = make_kernel_partials(
+            predictor.tpinn_spec, predictor.tpinn_feature_map,
+            *predictor.tpinn_bounds, pde.indices,
+        )
 
     def residual_at(params, z):
         if engine == "generic":
@@ -67,6 +86,8 @@ def make_loss(
         elif engine == "fused":
             parts = predictor.tpinn_partials(params, z, pde.indices)
             f = pde.evaluate(z, parts)
+        elif engine == "kernel":
+            f = pde.evaluate(z, kernel_partials(params, z, pde.indices))
         else:  # "auto": dispatch via taylor.fast_partials policy
             f = pde.residual_fast(predictor, params, z)
         if source_fn is not None:

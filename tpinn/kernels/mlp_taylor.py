@@ -130,25 +130,22 @@ def _make_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers):
     return kernel
 
 
-def taylor2_mlp_pallas(
+def taylor2_streams_pallas(
     params: dict,
     z: Array,
     spec: MLPSpec,
     fm: FeatureMap,
     lb,
     ub,
-    indices,
+    streams,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
-):
-    """Evaluate {multi-index: [N, 1]} u-derivative columns with the fused
-    Pallas kernel.  Output layout matches tpinn.core.taylor.taylor2_mlp
-    (out_dim must be 1)."""
+) -> Array:
+    """Raw fused forward: [N, S] stream columns (order = ``streams``)."""
     if spec.fourier_features or spec.modified:
         raise ValueError("pallas kernel supports the plain dense family")
     if spec.out_dim != 1:
         raise ValueError("pallas kernel assumes scalar output")
-    streams = plan_streams(indices)
     S = len(streams)
     layers = params["layers"]
     n_layers = len(layers)
@@ -191,7 +188,27 @@ def taylor2_mlp_pallas(
         interpret=interpret,
     )(z, *weight_args)
 
-    out = out[:N]
+    return out[:N]
+
+
+def taylor2_mlp_pallas(
+    params: dict,
+    z: Array,
+    spec: MLPSpec,
+    fm: FeatureMap,
+    lb,
+    ub,
+    indices,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Evaluate {multi-index: [N, 1]} u-derivative columns with the fused
+    Pallas kernel.  Output layout matches tpinn.core.taylor.taylor2_mlp
+    (out_dim must be 1)."""
+    streams = plan_streams(indices)
+    out = taylor2_streams_pallas(
+        params, z, spec, fm, lb, ub, streams, block, interpret
+    )
     return {st: out[:, k : k + 1] for k, st in enumerate(streams)}
 
 
