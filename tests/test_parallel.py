@@ -74,6 +74,31 @@ def test_sharded_grad_matches_single_device(mesh8):
                                    atol=1e-6)
 
 
+def test_multislice_mesh_layout_and_grad():
+    """Emulated 2-slice layout on the 8 virtual CPUs: points axis enumerates
+    slice-0's devices then slice-1's (contiguous blocks), and the loss
+    gradient matches the single-device value (the one DCN collective is the
+    gradient psum — numerics must be unchanged)."""
+    devices = jax.devices()
+    mesh = parallel.make_multislice_mesh(devices, ensemble=2, n_slices=2)
+    assert dict(mesh.shape) == {"ensemble": 2, "points": 4}
+    # row 0 of the points axis: first half of slice 0 then first half of slice 1
+    row = list(mesh.devices[0])
+    assert row == [devices[0], devices[1], devices[4], devices[5]]
+
+    _, params, _, sample_fn, grids, loss_fn, _ = _problem_setup()
+    data = sample_fn(jax.random.PRNGKey(3), jnp.ones_like(grids[0]))
+    lw, ref = jnp.array([1.0, 0.0]), jnp.array(1.0)
+    g1 = jax.jit(jax.grad(lambda p: loss_fn(p, data, lw, ref)[0]))(params)
+    ploss = parallel.make_parallel_loss(loss_fn, mesh)
+    sharded = parallel.shard_data(data, mesh)
+    g2 = jax.jit(jax.grad(lambda p: ploss(p, sharded, lw, ref)[0]))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
 @pytest.mark.slow
 def test_full_adam_phase_sharded(mesh8):
     """The complete on-chip Adam automaton runs under the mesh with sharded

@@ -21,6 +21,18 @@ Everything uses `jax.sharding.Mesh` + NamedSharding annotations under
 ``jit`` — XLA chooses the collectives — with
 ``jax.lax.with_sharding_constraint`` pinning the point batches.  The same
 code runs on 1 CPU device, a virtual 8-CPU mesh (tests), or a TPU slice.
+
+**Multi-slice (DCN) position.**  Beyond one ICI-connected slice, the only
+traffic this workload generates is the per-step gradient psum of a
+10-100KB parameter pytree — orders of magnitude under DCN bandwidth — so
+the right multi-slice strategy is plain points-DP *across* slices too:
+``make_multislice_mesh`` extends the points axis over every slice, laying
+devices out so points-axis neighbours are ICI-adjacent within a slice and
+exactly one gradient all-reduce per step crosses DCN.  Under a
+multi-controller launch each process calls ``jax.distributed.initialize()``
+first and passes ``jax.devices()`` (global) here; all sharding annotations
+downstream are unchanged because the axis names are the same.  No
+tensor/pipeline sharding ever crosses DCN (nothing here would amortize it).
 """
 
 from __future__ import annotations
@@ -53,6 +65,52 @@ def make_mesh(
         raise ValueError(f"{n} devices not divisible by ensemble={ensemble}")
     arr = np.asarray(devices).reshape(ensemble, n // ensemble)
     return Mesh(arr, (ENSEMBLE_AXIS, POINTS_AXIS))
+
+
+def make_multislice_mesh(
+    devices: Optional[Sequence] = None,
+    ensemble: int = 1,
+    n_slices: Optional[int] = None,
+) -> Mesh:
+    """(ensemble, points) mesh spanning multiple ICI slices over DCN.
+
+    Devices are grouped by ``slice_index`` (TPU runtime attribute; when
+    absent — CPU test stand-ins — contiguous blocks of ``len/n_slices``
+    emulate slices).  Within each ensemble row the points axis enumerates
+    slice-0's chips, then slice-1's, …, so XLA's gradient all-reduce
+    decomposes into in-slice ICI reduce-scatters plus one small cross-slice
+    DCN exchange.  Run ``jax.distributed.initialize()`` per process first
+    under a multi-controller launch.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = [getattr(d, "slice_index", None) for d in devices]
+    if any(s is None for s in slice_ids):
+        if n_slices is None:
+            n_slices = 1
+        if len(devices) % n_slices:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"n_slices={n_slices}")
+        per = len(devices) // n_slices
+        groups = [devices[i * per:(i + 1) * per] for i in range(n_slices)]
+    else:
+        order = sorted(set(slice_ids))
+        groups = [[d for d, s in zip(devices, slice_ids) if s == sid]
+                  for sid in order]
+    per_slice = len(groups[0])
+    if any(len(g) != per_slice for g in groups):
+        raise ValueError("slices have unequal device counts")
+    if per_slice % ensemble:
+        raise ValueError(f"per-slice device count {per_slice} not divisible "
+                         f"by ensemble={ensemble}")
+    # [ensemble, points] with points = slice-major blocks of in-slice chips
+    rows = []
+    for e in range(ensemble):
+        row = []
+        chunk = per_slice // ensemble
+        for g in groups:
+            row.extend(g[e * chunk:(e + 1) * chunk])
+        rows.append(row)
+    return Mesh(np.asarray(rows, dtype=object), (ENSEMBLE_AXIS, POINTS_AXIS))
 
 
 def points_sharding(mesh: Mesh) -> NamedSharding:
