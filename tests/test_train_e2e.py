@@ -150,3 +150,64 @@ def test_resume_skips_trained_stages(tmp_path):
     # resumed run trains nothing
     assert res2.history.shape[0] == 0
     assert res2.rel_l2 == pytest.approx(res1.rel_l2, rel=1e-5)
+
+
+def test_midstage_resume_bit_exact(tmp_path, monkeypatch):
+    """A run killed mid-Adam resumes from adam_state_stage_N.npz at the
+    last saved chunk and finishes with BIT-IDENTICAL parameters to an
+    uninterrupted run (same chunk grid, same carry)."""
+    from tpinn.utils import checkpoint as ckpt_mod
+
+    problem = problems.poisson_1d()
+
+    def make_spec():
+        st = StageSpec(depth=2, width=16, scl=1.0, epsil=1.0,
+                       adam_epochs=200, lbfgs_epochs=30)
+        return TrainSpec(
+            n_col=128, n_band=32, n_adaptive=32, n_bd=16,
+            testing_size=(64,), lw=(1.0, 0.0), grid=41,
+            stages=(st,), density_every=100, plateau_every=100,
+            tail_max=0, log_every=5, checkpoint_every=50,
+        )
+
+    # log_fn makes the chunk grid log_every*10 = 50 (see make_adam_phase)
+    noop_log = lambda msg: None
+
+    # --- run A: uninterrupted
+    dir_a = tmp_path / "a"
+    res_a = train.run_training(problem, make_spec(), output_dir=str(dir_a),
+                               log_fn=noop_log)
+
+    # --- run B: killed right after the step-100 checkpoint is written
+    dir_b = tmp_path / "b"
+    orig_save = ckpt_mod.save_phase_state
+
+    class Killed(Exception):
+        pass
+
+    def killer(path, done, state, hist):
+        orig_save(path, done, state, hist)
+        if done >= 100:
+            raise Killed(f"simulated kill at step {done}")
+
+    monkeypatch.setattr(ckpt_mod, "save_phase_state", killer)
+    with pytest.raises(Killed):
+        train.run_training(problem, make_spec(), output_dir=str(dir_b),
+                           log_fn=noop_log)
+    monkeypatch.setattr(ckpt_mod, "save_phase_state", orig_save)
+    assert (dir_b / "adam_state_stage_1.npz").exists()
+
+    # --- resume B and compare
+    res_b = train.run_training(problem, make_spec(), output_dir=str(dir_b),
+                               log_fn=noop_log, resume=True)
+    # the checkpointed prefix is stitched back: full history, identical rows
+    np.testing.assert_array_equal(
+        np.asarray(res_b.stages[0].history),
+        np.asarray(res_a.stages[0].history),
+    )
+    for pa, pb in zip(jax.tree_util.tree_leaves(res_a.stages[0].params),
+                      jax.tree_util.tree_leaves(res_b.stages[0].params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert res_b.rel_l2 == res_a.rel_l2
+    # the finished stage removed the mid-stage state file
+    assert not (dir_b / "adam_state_stage_1.npz").exists()

@@ -205,13 +205,27 @@ def make_adam_phase(
         return ((params, opt_state, data, F, key, ring), tail_buf, n_tail,
                 llast)
 
-    def phase(key, params, data, F, lw, ref) -> AdamPhaseResult:
+    def make_state0(key, params, data, F, ref):
+        """The step-0 scan carry — also the template pytree for loading a
+        mid-stage checkpoint (tpinn.utils.checkpoint.load_phase_state)."""
+        f_dtype = jnp.asarray(0.0, dtype=jnp.result_type(ref)).dtype
+        return (params, opt.init(params), data, F, key,
+                jnp.zeros((ring_n,), f_dtype))
+
+    def phase(key, params, data, F, lw, ref,
+              ckpt_cb=None, init=None) -> AdamPhaseResult:
+        """Run the Adam phase.
+
+        :param ckpt_cb: optional ``cb(done, state, hist_so_far)`` called
+            after every dispatched chunk — the mid-stage checkpoint hook
+            (state is the full scan carry incl. opt_state/data/F/key/ring).
+        :param init: optional ``(done, state, hist)`` from a previous
+            ``ckpt_cb`` to resume from; the scan continues at step ``done``
+            with identical numerics (same carry, same chunk grid).
+        """
         import numpy as _np
 
-        opt_state = opt.init(params)
-        f_dtype = jnp.asarray(0.0, dtype=jnp.result_type(ref)).dtype
-        ring0 = jnp.zeros((ring_n,), f_dtype)
-        state = (params, opt_state, data, F, key, ring0)
+        state = make_state0(key, params, data, F, ref)
 
         # chunked dispatches: bounded by max_chunk (runtime dispatch
         # deadline, see AdamConfig.max_chunk) and by the log cadence
@@ -221,6 +235,15 @@ def make_adam_phase(
         chunk = max(1, min(base, config.max_chunk))
         chunks = []
         done = 0
+        if init is not None:
+            done, state, hist0 = init
+            done = int(done)
+            if done % chunk and done != config.epochs:
+                raise ValueError(
+                    f"resume step {done} not on the chunk grid ({chunk})"
+                )
+            if done:
+                chunks.append(jnp.asarray(hist0)[:done])
         while done < config.epochs:
             n = min(chunk, config.epochs - done)
             state, hist = run_chunk(state, lw, ref, jnp.int32(done), n)
@@ -232,6 +255,8 @@ def make_adam_phase(
                         log_fn(step, rows[k])
             chunks.append(hist)
             done += n
+            if ckpt_cb is not None:
+                ckpt_cb(done, state, jnp.concatenate(chunks, axis=0))
         hist_scan = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
             else chunks[0]
 
@@ -262,6 +287,7 @@ def make_adam_phase(
         n_valid = jnp.int32(config.epochs) + n_tail
         return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
 
+    phase.make_state0 = make_state0
     return phase
 
 

@@ -152,6 +152,11 @@ class TrainSpec:
     # regressions (OOM, bad graphs); campaigns that want best-effort
     # completion opt in explicitly, and the fallback logs loudly.
     cpu_fallback: bool = False
+    # Mid-stage checkpoint cadence (steps, rounded up to the dispatch-chunk
+    # grid; 0 = stage-level only).  With ``run_training(resume=True)`` a
+    # killed run resumes the Adam phase at the last saved chunk with
+    # identical numerics (L-BFGS is not mid-resumable — it restarts).
+    checkpoint_every: int = 0
 
     def with_default_stages(self, depth=6, width=50, adam=1000, lbfgs=1000):
         """Reference-like two stages: user net then 6×50 sin correction
@@ -263,6 +268,9 @@ def run_training(
     ``resume=True`` reloads any per-stage checkpoint already present in
     ``output_dir`` (params_stage_N.npz) and skips that stage's training —
     an interrupted multi-stage run continues from the last finished stage.
+    With ``spec.checkpoint_every > 0`` it additionally resumes a stage
+    mid-Adam from adam_state_stage_N.npz (saved every ``checkpoint_every``
+    steps at dispatch-chunk granularity) with bit-identical numerics.
     (The reference has no checkpointing at all: params die with its
     training thread, SURVEY §5.)
 
@@ -455,8 +463,38 @@ def run_training(
             phase = optim.make_adam_phase(
                 loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
             )
+
+            # --- mid-stage checkpoint/resume (chunk granularity)
+            adam_ckpt = (out / f"adam_state_stage_{stage_no}.npz"
+                         if out else None)
+            init_phase = None
+            if resume and adam_ckpt is not None and adam_ckpt.exists():
+                from tpinn.utils.checkpoint import load_phase_state
+
+                try:
+                    like = phase.make_state0(key_adam, params, data0, F0, ref)
+                    init_phase = load_phase_state(adam_ckpt, like)
+                    log(f"stage {stage_no}: resuming Adam mid-stage at step "
+                        f"{init_phase[0]}/{st.adam_epochs}")
+                except Exception as e:
+                    log(f"stage {stage_no}: mid-stage checkpoint unusable "
+                        f"({e}); restarting the Adam phase")
+                    init_phase = None
+            ckpt_cb = None
+            if adam_ckpt is not None and spec.checkpoint_every > 0:
+                from tpinn.utils.checkpoint import save_phase_state
+
+                _last_saved = [init_phase[0] if init_phase else 0]
+
+                def ckpt_cb(done, state, hist):  # noqa: F811
+                    if (done - _last_saved[0] >= spec.checkpoint_every
+                            or done >= st.adam_epochs):
+                        save_phase_state(adam_ckpt, done, state, hist)
+                        _last_saved[0] = done
+
             try:
-                res = phase(key_adam, params, data0, F0, stage_lw, ref)
+                res = phase(key_adam, params, data0, F0, stage_lw, ref,
+                            ckpt_cb=ckpt_cb, init=init_phase)
                 # force a host transfer HERE: execution is async and some
                 # runtimes (the tunneled axon PJRT) only surface device
                 # crashes at fetch time — without this the except below
@@ -655,6 +693,10 @@ def run_training(
                       "feature_kinds": list(problem.feature_kinds),
                       "lb": list(problem.lb), "ub": list(problem.ub)},
             )
+            # the stage-level checkpoint supersedes any mid-stage Adam state
+            mid = out / f"adam_state_stage_{stage_no}.npz"
+            if mid.exists():
+                mid.unlink()
 
         stage_results.append(
             StageResult(

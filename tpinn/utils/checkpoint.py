@@ -54,3 +54,36 @@ def load_pytree(path, like) -> Tuple[Any, Dict[str, Any]]:
             raise KeyError(f"checkpoint {path} missing leaf {key}")
         leaves.append(jax.numpy.asarray(data[key], dtype=template.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves), meta
+
+
+def save_phase_state(path, done: int, state, hist) -> None:
+    """Mid-stage Adam checkpoint: the full scan carry (params, opt_state,
+    data, density F, rng key, plateau ring) + steps done + history so far.
+    Written atomically after a dispatched chunk (optim.make_adam_phase's
+    ``ckpt_cb``), so a killed run resumes at chunk granularity with
+    identical numerics."""
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(state)[0]
+    arrays = {f"leaf:{_path_str(p)}": np.asarray(v)
+              for p, v in leaves_with_paths}
+    arrays["__hist__"] = np.asarray(hist)
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps({"done": int(done)}).encode(), dtype=np.uint8
+    )
+    atomic_savez(path, **arrays)
+
+
+def load_phase_state(path, like_state) -> Tuple[int, Any, np.ndarray]:
+    """Load a mid-stage checkpoint into the carry structure ``like_state``
+    (build it exactly as the phase would at step 0).  Returns
+    ``(done, state, hist)`` for ``make_adam_phase``'s ``init=``."""
+    data = np.load(path)
+    meta = json.loads(bytes(data["__meta__"]).decode())
+    paths, treedef = jax.tree_util.tree_flatten_with_path(like_state)
+    leaves = []
+    for p, template in paths:
+        key = f"leaf:{_path_str(p)}"
+        if key not in data:
+            raise KeyError(f"phase checkpoint {path} missing leaf {key}")
+        leaves.append(jax.numpy.asarray(data[key], dtype=template.dtype))
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return int(meta["done"]), state, data["__hist__"]
