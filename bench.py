@@ -75,7 +75,8 @@ def model_flops_per_point(depth=DEPTH, width=WIDTH, n_features=3,
     return 3 * n_streams * mm
 
 
-def build_phase(batch_scale=1.0, engine="auto", steps=400):
+def build_phase(batch_scale=1.0, engine="auto", steps=400,
+                depth=DEPTH, width=WIDTH):
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +87,7 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400):
     problem = problems.annulus_laplace()
     compiled = pde.compile_pde(problem.equation, problem.coords)
     fm = net.feature_map_for(problem.feature_kinds)
-    spec = net.MLPSpec(depth=DEPTH, width=WIDTH)
+    spec = net.MLPSpec(depth=depth, width=width)
     params = net.init_params(jax.random.PRNGKey(0), spec, fm, jnp.float32)
     predictor = net.make_predictor(
         spec, fm, jnp.asarray(problem.lb, jnp.float32),
@@ -126,10 +127,11 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400):
     return run, batch
 
 
-def timed_phase(batch_scale=1.0, engine="auto", steps=400, repeats=5):
+def timed_phase(batch_scale=1.0, engine="auto", steps=400, repeats=5,
+                depth=DEPTH, width=WIDTH):
     import jax
 
-    run, batch = build_phase(batch_scale, engine, steps)
+    run, batch = build_phase(batch_scale, engine, steps, depth, width)
     run(jax.random.PRNGKey(2))  # compile + warm
     times = []
     for i in range(repeats):
@@ -260,6 +262,25 @@ def main():
                   file=sys.stderr)
             scaling.append(row)
         details["scaling"] = scaling
+
+        # width sweep at large batch: the MXU tiles 128×128, so a 60-wide
+        # dense chain caps utilization near (60/128)² of a tile; 64/128
+        # variants quantify how much of the MFU gap is model shape vs code
+        widths = []
+        for w in (60, 64, 128, 256):
+            row = timed_phase(batch_scale=20.0, steps=50, repeats=3, width=w)
+            f = model_flops_per_point(width=w)
+            row["width"] = w
+            row["achieved_tflops"] = round(row["pts_per_sec"] * f / 1e12, 3)
+            row["mfu_vs_bf16_peak"] = round(
+                row["pts_per_sec"] * f / V5E_PEAK_FLOPS, 4
+            )
+            print(f"[bench] width={w}: {row['pts_per_sec']:,.0f} pts/s, "
+                  f"{row['achieved_tflops']} TFLOP/s "
+                  f"(MFU {row['mfu_vs_bf16_peak'] * 100:.1f}%)",
+                  file=sys.stderr)
+            widths.append(row)
+        details["width_sweep"] = widths
 
         engines = {}
         for engine in ("auto", "fused", "kernel"):

@@ -66,6 +66,10 @@ def main():
     p.add_argument("--lw0", type=float, default=0.05)
     p.add_argument("--lw1", type=float, default=0.0)
     p.add_argument("--deriv-loss", action="store_true")
+    p.add_argument("--lsq-polish", default="off",
+                   choices=("off", "auto", "on"),
+                   help="exact f64 last-layer LSQ solve after each stage "
+                        "(linear PDEs; tpinn.core.polish)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--sample-scale2", type=float, default=2.0)
     p.add_argument("--lbfgs-grid", type=int, default=0)
@@ -108,6 +112,7 @@ def main():
         n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
         seed=args.seed, lr=args.lr, grid=args.grid,
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
+        lsq_polish=args.lsq_polish,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )

@@ -47,3 +47,70 @@ def test_f64_polish_subprocess():
     assert rec["dtype"] == "float32"
     # modest budget still reaches well below 1e-3; full budgets reach 8e-6
     assert rec["rel_l2"] < 1e-3, rec
+
+
+def test_is_linear_detection():
+    import jax
+    from tpinn.core import pde
+
+    assert pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt", ("r", "t")).is_linear
+    assert pde.compile_pde("u_xx + u_yy + 400*u + sin(x)", ("x", "y")).is_linear
+    assert pde.compile_pde("u_t + u*u_x - 0.01*u_xx", ("x", "t")).is_linear is False
+    assert pde.compile_pde("u_xx + sin(u)", ("x",)).is_linear is False
+    assert pde.compile_pde("u_xx + u**2", ("x",)).is_linear is False
+    assert pde.compile_pde("u_t - u_xx/2 + x*u", ("x", "t")).is_linear
+
+
+LSQ_SCRIPT = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, __ROOT__)
+import jax.numpy as jnp
+from tpinn.core import deriv, net, pde, polish
+
+# exactness: make the true solution a member of the learned basis span,
+# then check the polish recovers it to ~machine precision in one solve
+fm = net.feature_map_for((net.MINMAX,))
+spec = net.MLPSpec(depth=3, width=16, scl=1.0, epsil=0.7)
+key = jax.random.PRNGKey(0)
+params_true = net.init_params(key, spec, fm, jnp.float64)
+pred = net.make_predictor(spec, fm, jnp.asarray([0.0]), jnp.asarray([1.0]))
+u_star = lambda z: pred(params_true, z)
+
+compiled = pde.compile_pde("u_xx", coords=("x",))
+source = lambda z: deriv.partials(u_star, z, [(0, 0)])[(0, 0)]
+
+z_col = jnp.linspace(0.0, 1.0, 257, dtype=jnp.float64)[:, None]
+z_bd = [jnp.zeros((4, 1), jnp.float64), jnp.ones((4, 1), jnp.float64)]
+data = {"x_col": z_col, "x_bd": z_bd, "u_bd": [u_star(z) for z in z_bd]}
+
+# perturb ONLY the last layer; polish must restore it exactly
+params0 = jax.tree_util.tree_map(lambda x: x, params_true)
+bad_last = {"w": params_true["layers"][-1]["w"] + 0.5,
+            "b": params_true["layers"][-1]["b"] - 0.3}
+params0 = dict(params0)
+params0["layers"] = list(params_true["layers"][:-1]) + [bad_last]
+
+new_params, info = polish.last_layer_lsq(
+    pred, compiled, params0, data, lw0=1.0, source_fn=source)
+err_w = float(jnp.max(jnp.abs(
+    new_params["layers"][-1]["w"] - params_true["layers"][-1]["w"])))
+u_err = float(jnp.max(jnp.abs(pred(new_params, z_col) - u_star(z_col))))
+print(json.dumps({"pre": info["pre"], "post": info["post"],
+                  "applied": info["applied"], "err_w": err_w,
+                  "u_err": u_err}))
+"""
+
+
+def test_lsq_polish_exact_recovery():
+    code = LSQ_SCRIPT.replace("__ROOT__", repr(str(ROOT)))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["applied"] is True
+    assert rec["post"] < 1e-18, rec
+    assert rec["err_w"] < 1e-7, rec
+    assert rec["u_err"] < 1e-9, rec

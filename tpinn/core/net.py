@@ -184,8 +184,11 @@ def init_params(key: Array, spec: MLPSpec, feature_map: FeatureMap, dtype=jnp.fl
     return p
 
 
-def mlp_apply(params: dict, h: Array, spec: MLPSpec) -> Array:
-    """Dense chain on already-embedded features ``h``."""
+def mlp_hidden(params: dict, h: Array, spec: MLPSpec) -> Array:
+    """Dense chain up to (and excluding) the output layer: the feature
+    basis ``[N, width]`` the output layer combines linearly.  Split out of
+    ``mlp_apply`` so the last-layer least-squares polish
+    (tpinn.core.polish) can treat the network as a learned basis."""
     act0 = activation(spec.act_first)
     acth = activation(spec.act_hidden)
     layers = params["layers"]
@@ -193,7 +196,7 @@ def mlp_apply(params: dict, h: Array, spec: MLPSpec) -> Array:
     if spec.fourier_features:
         proj = dot(h, params["fourier_b"])
         h = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=1)
-    first, *hidden, last = layers
+    first, *hidden, _last = layers
     if spec.modified:
         u = jnp.tanh(dot(h, params["gate_u"]["w"]) + params["gate_u"]["b"])
         v = jnp.tanh(dot(h, params["gate_v"]["w"]) + params["gate_v"]["b"])
@@ -206,7 +209,14 @@ def mlp_apply(params: dict, h: Array, spec: MLPSpec) -> Array:
         h = act0(dot(h, first["w"]) * spec.scl + first["b"])
         for layer in hidden:
             h = acth(dot(h, layer["w"]) + layer["b"])
-    return dot(h, last["w"]) + last["b"]
+    return h
+
+
+def mlp_apply(params: dict, h: Array, spec: MLPSpec) -> Array:
+    """Dense chain on already-embedded features ``h``."""
+    h = mlp_hidden(params, h, spec)
+    last = params["layers"][-1]
+    return jnp.dot(h, last["w"], precision=spec.precision) + last["b"]
 
 
 # ---------------------------------------------------------------------------

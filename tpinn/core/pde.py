@@ -286,6 +286,52 @@ def parse(expr: str, coords: Sequence[str]) -> Node:
 # ---------------------------------------------------------------------------
 
 
+def depends_on_u(node: Node) -> bool:
+    """Whether any u-term (value or derivative) appears under ``node``."""
+    if isinstance(node, UDeriv):
+        return True
+    if isinstance(node, Unary):
+        return depends_on_u(node.operand)
+    if isinstance(node, BinOp):
+        return depends_on_u(node.left) or depends_on_u(node.right)
+    if isinstance(node, Call):
+        return depends_on_u(node.arg)
+    return False
+
+
+def is_linear_in_u(node: Node) -> bool:
+    """Whether the expression is AFFINE in u and its derivatives — i.e. the
+    PDE is linear.  Linear equations admit the exact last-layer
+    least-squares polish (tpinn.core.polish): the residual is then affine
+    in the output layer's weights.  Conservative: anything structurally
+    ambiguous (u inside a function, u**p, u·u_x) reports nonlinear."""
+    if isinstance(node, (Num, Const, Coord, UDeriv)):
+        return True
+    if isinstance(node, Unary):
+        return is_linear_in_u(node.operand)
+    if isinstance(node, Call):
+        return not depends_on_u(node.arg)
+    if isinstance(node, BinOp):
+        if node.op in ("+", "-"):
+            return is_linear_in_u(node.left) and is_linear_in_u(node.right)
+        if node.op == "*":
+            lu, ru = depends_on_u(node.left), depends_on_u(node.right)
+            if lu and ru:
+                return False
+            if lu:
+                return is_linear_in_u(node.left)
+            if ru:
+                return is_linear_in_u(node.right)
+            return True
+        if node.op == "/":
+            if depends_on_u(node.right):
+                return False
+            return is_linear_in_u(node.left)
+        if node.op == "**":
+            return not (depends_on_u(node.left) or depends_on_u(node.right))
+    return False
+
+
 def collect_indices(node: Node) -> Set[MultiIndex]:
     out: Set[MultiIndex] = set()
 
@@ -371,6 +417,12 @@ class CompiledPDE:
     @property
     def max_order(self) -> int:
         return max((len(ix) for ix in self.indices), default=0)
+
+    @property
+    def is_linear(self) -> bool:
+        """Linear PDE ⇒ the residual is affine in u-parts (and therefore in
+        the network's output layer) — see tpinn.core.polish."""
+        return is_linear_in_u(self.ast)
 
 
 def compile_pde(equation: str, coords: Sequence[str]) -> CompiledPDE:

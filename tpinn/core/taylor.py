@@ -223,6 +223,8 @@ def attach_sum_meta(predictor, prev_predictor, stage_predictor):
 
         predictor.tpinn_partials = tpinn_partials
     predictor.tpinn_kind = "sum"
+    predictor.tpinn_prev = prev_predictor
+    predictor.tpinn_stage = stage_predictor
     return predictor
 
 

@@ -152,6 +152,13 @@ class TrainSpec:
     # regressions (OOM, bad graphs); campaigns that want best-effort
     # completion opt in explicitly, and the fallback logs loudly.
     cpu_fallback: bool = False
+    # Exact last-layer least-squares polish after each stage's L-BFGS
+    # (tpinn.core.polish): "off", "auto" (apply when the compiled PDE is
+    # linear — Burgers et al. skip it), or "on" (error if nonlinear).
+    # Solved in float64 on the host: the TPU does the nonconvex f32
+    # feature learning, one exact convex solve lands the output layer on
+    # the quadratic's optimum.
+    lsq_polish: str = "off"
     # Mid-stage checkpoint cadence (steps, rounded up to the dispatch-chunk
     # grid; 0 = stage-level only).  With ``run_training(resume=True)`` a
     # killed run resumes the Adam phase at the last saved chunk with
@@ -640,6 +647,35 @@ def run_training(
                     f"({int(n_rows) - 1} accepted iterations, "
                     f"final loss {part[-1, 0]:.4e})")
             hist_lbfgs = np.concatenate(hist_parts, axis=0)
+
+            # --- exact last-layer least-squares polish (linear PDEs)
+            if spec.lsq_polish not in ("off", "auto", "on"):
+                raise ValueError(f"lsq_polish={spec.lsq_polish!r}")
+            if spec.lsq_polish != "off":
+                if not compiled.is_linear and spec.lsq_polish == "auto":
+                    log(f"stage {stage_no}: lsq_polish skipped "
+                        f"(equation nonlinear in u)")
+                else:
+                    from tpinn.core import polish as polish_mod
+
+                    pdata = grid_fixed if grid_fixed is not None \
+                        else data_lbfgs
+                    cpu = jax.devices("cpu")[0]
+                    with jax.default_device(cpu):
+                        new_params, pinfo = polish_mod.last_layer_lsq(
+                            predictor, compiled,
+                            jax.device_put(params, cpu),
+                            jax.device_put(pdata, cpu),
+                            float(stage_lw[0]), source_fn,
+                        )
+                    log(f"stage {stage_no}: lsq polish objective "
+                        f"{pinfo['pre']:.4e} -> {pinfo['post']:.4e}"
+                        f"{'' if pinfo['applied'] else ' (not applied)'}")
+                    if pinfo["applied"]:
+                        params = cast_to(
+                            jax.device_put(new_params, jax.devices()[0]),
+                            dtype,
+                        )
         else:
             hist_adam = np.zeros((0, info_width), np.float64)
             hist_lbfgs = np.zeros((0, info_width), np.float64)
