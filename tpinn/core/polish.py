@@ -166,7 +166,12 @@ def last_layer_lsq(
     last = stage_params["layers"][-1]
     wb0 = jnp.concatenate([last["w"][:, 0], last["b"]])
     pre = float(jnp.sum(jnp.square(A @ wb0 - b)))
-    wb, *_ = jnp.linalg.lstsq(A, b, rcond=None)
+    # column equilibration: coefficient magnitudes (e.g. 1/r² terms) spread
+    # column norms over orders of magnitude; normalize before the SVD cut
+    col = jnp.linalg.norm(A, axis=0)
+    col = jnp.where(col > 0, col, 1.0)
+    wb_s, *_ = jnp.linalg.lstsq(A / col[None, :], b, rcond=None)
+    wb = wb_s / col
     post = float(jnp.sum(jnp.square(A @ wb - b)))
 
     if post >= pre:  # never make things worse (rank-deficient corner cases)

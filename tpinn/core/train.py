@@ -646,36 +646,40 @@ def run_training(
                 log(f"stage {stage_no}: L-BFGS round {ri + 1}/{rounds} done "
                     f"({int(n_rows) - 1} accepted iterations, "
                     f"final loss {part[-1, 0]:.4e})")
+
+                # --- exact last-layer least-squares polish (linear PDEs).
+                #     Applied after EVERY round: with lbfgs_rounds > 1 this
+                #     is variable projection — L-BFGS moves the hidden
+                #     features, the f64 host solve re-lands the output
+                #     layer on the convex subproblem's optimum each time.
+                if spec.lsq_polish not in ("off", "auto", "on"):
+                    raise ValueError(f"lsq_polish={spec.lsq_polish!r}")
+                if spec.lsq_polish != "off":
+                    if not compiled.is_linear and spec.lsq_polish == "auto":
+                        log(f"stage {stage_no}: lsq_polish skipped "
+                            f"(equation nonlinear in u)")
+                    else:
+                        from tpinn.core import polish as polish_mod
+
+                        pdata = (grid_fixed if grid_fixed is not None
+                                 else data_lbfgs)
+                        cpu = jax.devices("cpu")[0]
+                        with jax.default_device(cpu):
+                            new_params, pinfo = polish_mod.last_layer_lsq(
+                                predictor, compiled,
+                                jax.device_put(params, cpu),
+                                jax.device_put(pdata, cpu),
+                                float(stage_lw[0]), source_fn,
+                            )
+                        log(f"stage {stage_no}: lsq polish objective "
+                            f"{pinfo['pre']:.4e} -> {pinfo['post']:.4e}"
+                            f"{'' if pinfo['applied'] else ' (not applied)'}")
+                        if pinfo["applied"]:
+                            params = cast_to(
+                                jax.device_put(new_params, jax.devices()[0]),
+                                dtype,
+                            )
             hist_lbfgs = np.concatenate(hist_parts, axis=0)
-
-            # --- exact last-layer least-squares polish (linear PDEs)
-            if spec.lsq_polish not in ("off", "auto", "on"):
-                raise ValueError(f"lsq_polish={spec.lsq_polish!r}")
-            if spec.lsq_polish != "off":
-                if not compiled.is_linear and spec.lsq_polish == "auto":
-                    log(f"stage {stage_no}: lsq_polish skipped "
-                        f"(equation nonlinear in u)")
-                else:
-                    from tpinn.core import polish as polish_mod
-
-                    pdata = grid_fixed if grid_fixed is not None \
-                        else data_lbfgs
-                    cpu = jax.devices("cpu")[0]
-                    with jax.default_device(cpu):
-                        new_params, pinfo = polish_mod.last_layer_lsq(
-                            predictor, compiled,
-                            jax.device_put(params, cpu),
-                            jax.device_put(pdata, cpu),
-                            float(stage_lw[0]), source_fn,
-                        )
-                    log(f"stage {stage_no}: lsq polish objective "
-                        f"{pinfo['pre']:.4e} -> {pinfo['post']:.4e}"
-                        f"{'' if pinfo['applied'] else ' (not applied)'}")
-                    if pinfo["applied"]:
-                        params = cast_to(
-                            jax.device_put(new_params, jax.devices()[0]),
-                            dtype,
-                        )
         else:
             hist_adam = np.zeros((0, info_width), np.float64)
             hist_lbfgs = np.zeros((0, info_width), np.float64)
