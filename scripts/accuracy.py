@@ -117,8 +117,16 @@ def main():
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )
 
+    # quiet mode still surfaces stage-level milestones (phase transitions,
+    # polish results) so long campaign runs are monitorable from the log
+    stage_log = (
+        (lambda m: print(m, file=sys.stderr, flush=True)
+         if m.startswith("stage") else None)
+        if args.quiet else None
+    )
     t0 = time.perf_counter()
-    res = train.run_training(problem, spec, print_log=not args.quiet)
+    res = train.run_training(problem, spec, print_log=not args.quiet,
+                             log_fn=stage_log)
     wall = time.perf_counter() - t0
 
     rec = {
