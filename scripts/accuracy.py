@@ -66,6 +66,8 @@ def main():
     p.add_argument("--lw0", type=float, default=0.05)
     p.add_argument("--lw1", type=float, default=0.0)
     p.add_argument("--deriv-loss", action="store_true")
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "generic", "fused", "kernel"))
     p.add_argument("--lsq-polish", default="off",
                    choices=("off", "auto", "on"),
                    help="exact f64 last-layer LSQ solve after each stage "
@@ -83,6 +85,9 @@ def main():
     p.add_argument("--cpu-fallback", action="store_true")
     p.add_argument("--tag", required=True)
     p.add_argument("--out-dir", default="out/acc")
+    p.add_argument("--save-artifacts", action="store_true",
+                   help="write the 11-npz artifact set + per-stage param "
+                        "checkpoints to out/acc/<tag>_artifacts/")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -112,7 +117,7 @@ def main():
         n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
         seed=args.seed, lr=args.lr, grid=args.grid,
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
-        lsq_polish=args.lsq_polish,
+        lsq_polish=args.lsq_polish, engine=args.engine,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )
@@ -124,9 +129,11 @@ def main():
          if m.startswith("stage") else None)
         if args.quiet else None
     )
+    out_dir = (f"{args.out_dir}/{args.tag}_artifacts"
+               if args.save_artifacts else None)
     t0 = time.perf_counter()
     res = train.run_training(problem, spec, print_log=not args.quiet,
-                             log_fn=stage_log)
+                             log_fn=stage_log, output_dir=out_dir)
     wall = time.perf_counter() - t0
 
     rec = {

@@ -82,11 +82,12 @@ def _residual_coeffs(compiled, z: Array, source_fn, dtype):
     if source_fn is not None:
         d = d - source_fn(z)
     ones = jnp.ones((n, 1), dtype)
+    base = compiled.evaluate(z, zeros)
     coeffs = {}
     for ix in compiled.indices:
         probe = dict(zeros)
         probe[ix] = ones
-        coeffs[ix] = compiled.evaluate(z, probe) - compiled.evaluate(z, zeros)
+        coeffs[ix] = compiled.evaluate(z, probe) - base
     return coeffs, d
 
 

@@ -159,6 +159,11 @@ class TrainSpec:
     # feature learning, one exact convex solve lands the output layer on
     # the quadratic's optimum.
     lsq_polish: str = "off"
+    # Derivative-engine selection for the loss residual (loss.make_loss):
+    # "auto" | "generic" | "fused" | "kernel".  "generic" builds a
+    # different XLA graph shape — also the workaround for tunneled-TPU
+    # compiler crashes observed on some fused graphs (Fourier features).
+    engine: str = "auto"
     # Mid-stage checkpoint cadence (steps, rounded up to the dispatch-chunk
     # grid; 0 = stage-level only).  With ``run_training(resume=True)`` a
     # killed run resumes the Adam phase at the last saved chunk with
@@ -398,7 +403,8 @@ def run_training(
 
         density_fn = make_density_fn(predictor, compiled, grids, source_fn)
         loss_fn = loss_mod.make_loss(predictor, compiled, source_fn,
-                                     deriv_loss=spec.deriv_loss)
+                                     deriv_loss=spec.deriv_loss,
+                                     engine=spec.engine)
         if mesh is not None:
             from tpinn import parallel
 
