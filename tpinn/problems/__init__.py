@@ -25,17 +25,30 @@ __all__ = ["PRESETS", "get_problem", "annulus_laplace", "poisson_1d",
 
 def annulus_laplace() -> ProblemSpec:
     """The reference's problem: Laplace in polar coordinates on the annulus
-    r∈[0.1,1], θ∈[0,2π) (hard-constrained periodic), Dirichlet u(0.1)=1,
-    u(1)=0.  Exact: u = log(r)/log(0.1)."""
+    r∈[0.1,1], θ∈[0,2π), Dirichlet u(0.1)=1, u(1)=0.  Exact:
+    u = log(r)/log(0.1).
+
+    **Deliberate deviation from the reference's θ-domain.**  The reference
+    trains on t∈[0,1] (software.py:1170 T_bd=[0,1]) with raw cos(t)/sin(t)
+    features (:172-175) — i.e. a 1-RADIAN WEDGE with Dirichlet data only on
+    the two arcs and nothing on the θ-edges.  That problem is ill-posed:
+    harmonic null modes sin(kπ·ln(r/0.1)/ln 10)·e^(±ν t) vanish on both
+    arcs and are free on the wedge edges, so residual+BC minimization does
+    not determine the solution (measured: longer optimization *increases*
+    rel-L2 while the loss decreases — round-2 isolation runs aC0/aC1).
+    Posing θ over the full circle [0, 2π] makes the cos/sin embedding a
+    true hard periodicity constraint and the problem uniquely solvable;
+    the exact solution and the equation string are unchanged."""
+    two_pi = float(2.0 * jnp.pi)
     return ProblemSpec(
         name="annulus_laplace",
         equation="u_rr + 1/r*u_r + 1/r**2*u_tt",
         coords=("r", "t"),
         lb=(0.1, 0.0),
-        ub=(1.0, 1.0),
+        ub=(1.0, two_pi),
         bc_groups=(
-            sample.BCGroup(lo=(0.1, 0.0), hi=(0.1, 1.0), value=1.0),
-            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(0.1, 0.0), hi=(0.1, two_pi), value=1.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, two_pi), value=0.0),
         ),
         feature_kinds=(net.MINMAX, net.PERIODIC),
         exact=lambda z: jnp.log(z[:, 0:1]) / jnp.log(0.1),
