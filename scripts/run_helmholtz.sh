@@ -15,7 +15,7 @@ import json; r=json.load(open('out/acc/$tag.json'))
 print(r['tag'], 'rel_l2=%.3e' % r['rel_l2'], r['wall_secs'], 's')"
 }
 
-COMMON="--adam 30000 --lbfgs 6000 --n-col 20000 --n-band 2000 --n-adaptive 8000 --n-bd 500 --lbfgs-grid 200 --lsq-polish auto"
+COMMON="--adam 30000 --lbfgs 6000 --n-col 20000 --n-band 2000 --n-adaptive 8000 --n-bd 500 --lbfgs-grid 200 --lsq-polish auto --engine generic"
 
 # random Fourier features at the target frequency band (sin(20x): 10 rad
 # in minmax feature space)

@@ -172,12 +172,16 @@ def make_adam_phase(
 
         return body
 
-    @partial(jax.jit, static_argnames=("n_steps",))
+    # the carry is donated across chunk dispatches: params/opt_state/data/F
+    # alias in-place between chunks (lower peak HBM, no boundary copies);
+    # phase() hands the first dispatch a private copy so callers keep their
+    # buffers (the CPU-fallback retry path re-uses them after a TPU crash)
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(0,))
     def run_chunk(state, lw, ref, start, n_steps: int):
         steps = start + jnp.arange(n_steps)
         return jax.lax.scan(body_for(lw, ref), state, steps)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 6))
     def run_tail(state, lw, ref, lmin, llast, n_tail0, tail_buf, i_end):
         """One bounded dispatch of the tail loop (resumable: carries the
         tail buffer and step count so the host can chunk it under the
@@ -225,7 +229,9 @@ def make_adam_phase(
         """
         import numpy as _np
 
-        state = make_state0(key, params, data, F, ref)
+        state = jax.tree_util.tree_map(
+            jnp.copy, make_state0(key, params, data, F, ref)
+        )
 
         # chunked dispatches: bounded by max_chunk (runtime dispatch
         # deadline, see AdamConfig.max_chunk) and by the log cadence
@@ -237,6 +243,7 @@ def make_adam_phase(
         done = 0
         if init is not None:
             done, state, hist0 = init
+            state = jax.tree_util.tree_map(jnp.copy, state)
             done = int(done)
             if done % chunk and done != config.epochs:
                 raise ValueError(
