@@ -1,0 +1,145 @@
+"""Bisect the tunneled-TPU compiler SIGILL on the Helmholtz Adam graph.
+
+Round-2 diagnostic: helmholtz_2d (and, at round-1 campaign time, all square
+-domain presets) crash the remote tpu_compile_helper with SIGILL in the
+Adam phase, while the annulus compiles and runs.  Each probe AOT-compiles
+one graph piece (jit().lower().compile()) and reports ok/fail, so one
+process can bisect down to the crashing construct.
+
+    python scripts/probe_sigill.py            # full ladder
+    python scripts/probe_sigill.py grad_hh    # one probe
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+
+from tpinn import problems
+from tpinn.core import loss as loss_mod
+from tpinn.core import net, optim, pde, sample
+from tpinn.core.train import make_density_fn
+
+DTYPE = jnp.float32
+
+
+def build(problem, n_col=256, n_band=64, n_adaptive=64, n_bd=32, grid=41,
+          engine="generic", depth=3, width=32):
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    source_fn = (pde.compile_coord_expr(problem.source, problem.coords)
+                 if problem.source else None)
+    feature_map = net.feature_map_for(problem.feature_kinds)
+    lb = jnp.asarray(problem.lb, DTYPE)
+    ub = jnp.asarray(problem.ub, DTYPE)
+    mspec = net.MLPSpec(depth=depth, width=width, scl=1.0, epsil=1.0)
+    key = jax.random.PRNGKey(0)
+    params = net.init_params(key, mspec, feature_map, DTYPE)
+    predictor = net.make_predictor(mspec, feature_map, lb, ub)
+    cfg = sample.SamplerConfig(n_col=n_col, n_band=n_band,
+                               n_adaptive=n_adaptive, n_bd=n_bd, grid=grid)
+    if problem.dim == 1:
+        sample_fn, grids = sample.make_sampler_1d(
+            cfg, problem.bc_groups, problem.lb, problem.ub, DTYPE)
+    else:
+        sample_fn, grids = sample.make_sampler(
+            cfg, problem.bc_groups, problem.lb, problem.ub, DTYPE)
+    F0 = jnp.ones_like(grids[0])
+    density_fn = make_density_fn(predictor, compiled, grids, source_fn)
+    loss_fn = loss_mod.make_loss(predictor, compiled, source_fn,
+                                 engine=engine)
+    data0 = sample_fn(key, F0)
+    lw = jnp.asarray((0.05, 0.0), DTYPE)
+    ref = jnp.asarray(1.0, DTYPE)
+    return dict(loss_fn=loss_fn, sample_fn=sample_fn, density_fn=density_fn,
+                data0=data0, params=params, F0=F0, lw=lw, ref=ref, key=key,
+                n_bc=len(problem.bc_groups))
+
+
+def probe(name, thunk):
+    t0 = time.perf_counter()
+    try:
+        thunk()
+        print(f"[probe] {name}: OK ({time.perf_counter()-t0:.1f}s)",
+              flush=True)
+        return True
+    except Exception as e:
+        msg = str(e).replace("\n", " ")[:160]
+        print(f"[probe] {name}: FAIL ({time.perf_counter()-t0:.1f}s) {msg}",
+              flush=True)
+        return False
+
+
+def compile_loss(b):
+    jax.jit(b["loss_fn"]).lower(
+        b["params"], b["data0"], b["lw"], b["ref"]).compile()
+
+
+def compile_grad(b):
+    g = jax.jit(jax.grad(lambda p, d, w, r: b["loss_fn"](p, d, w, r)[0]))
+    g.lower(b["params"], b["data0"], b["lw"], b["ref"]).compile()
+
+
+def compile_chunk(b, n_bc, n_steps=8):
+    info_width = loss_mod.loss_info_width(n_bc)
+    cfg = optim.AdamConfig(epochs=n_steps, lr=1e-3, log_every=10_000)
+    phase = optim.make_adam_phase(
+        b["loss_fn"], b["sample_fn"], b["density_fn"], cfg, info_width, None)
+    state = phase.make_state0(b["key"], b["params"], b["data0"], b["F0"],
+                              b["ref"])
+    phase.run_chunk.lower(
+        state, b["lw"], b["ref"], jnp.int32(0), n_steps).compile()
+
+
+def compile_sampler(b):
+    jax.jit(b["sample_fn"]).lower(b["key"], b["F0"]).compile()
+
+
+def compile_density(b):
+    jax.jit(b["density_fn"]).lower(b["params"], b["F0"]).compile()
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    hh = lambda **kw: build(problems.helmholtz_2d(), **kw)
+    ladder = {
+        # control: the annulus pieces all compile+run in production
+        "grad_annulus": lambda: compile_grad(build(problems.annulus_laplace())),
+        # helmholtz ladder, smallest graph first
+        "loss_hh": lambda: compile_loss(hh()),
+        "grad_hh": lambda: compile_grad(hh()),
+        "sampler_hh": lambda: compile_sampler(hh()),
+        "density_hh": lambda: compile_density(hh()),
+        "chunk_hh": lambda: compile_chunk(hh(), 4),
+        # the real campaign shapes (20000/2000/8000/500, grid 111)
+        "chunk_hh_big": lambda: compile_chunk(
+            hh(n_col=20000, n_band=2000, n_adaptive=8000, n_bd=500,
+               grid=111, depth=4, width=64), 4),
+        # other square-domain presets
+        "chunk_poisson2d": lambda: compile_chunk(
+            build(problems.poisson_2d()), 4),
+        "chunk_heat2d": lambda: compile_chunk(build(problems.heat_2d()), 4),
+        # low-k helmholtz: is it the constant/frequency?
+        "chunk_hh_k2": lambda: compile_chunk(
+            build(problems.helmholtz_2d(k=2.0)), 4),
+    }
+    for name, thunk in ladder.items():
+        if only and name != only:
+            continue
+        probe(name, thunk)
+
+
+if __name__ == "__main__":
+    main()
