@@ -106,7 +106,7 @@ def compile_sampler(b):
 
 
 def compile_density(b):
-    jax.jit(b["density_fn"]).lower(b["params"], b["F0"]).compile()
+    jax.jit(b["density_fn"]).lower(b["params"]).compile()
 
 
 def main():

@@ -295,6 +295,7 @@ def make_adam_phase(
         return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
 
     phase.make_state0 = make_state0
+    phase.run_chunk = run_chunk  # exposed for AOT compile probes/diagnostics
     return phase
 
 

@@ -202,6 +202,7 @@ class TrainResult:
     predict: Callable[[Array], Array]            # final composed u(z)
     rel_l2: Optional[float]                      # vs analytic, final stage
     history: np.ndarray                          # concatenated loss rows
+    fell_back: bool = False                      # any phase retried on CPU
 
 
 def rms(x: Array) -> Array:
@@ -227,6 +228,43 @@ def eval_grid(problem: ProblemSpec, testing_size: Sequence[int], dtype):
     R, T = jnp.meshgrid(axes[0], axes[1])
     X_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
     return X_star, axes, (R, T)
+
+
+def eval_stage_f64(predictor, params, X_star, compiled, source_fn, exact):
+    """Evaluate u, residual (and the analytic oracle) in float64 on host CPU.
+
+    The model trains and serves in f32 on TPU, but the *measurement* must be
+    more precise than the thing measured: composed stage-2+ predictors reach
+    error levels (~1e-5 rel-L2) where f32 evaluation noise — in u and
+    especially through the nested-jvp second derivatives — inflates the
+    reported metrics several-fold (measured on the annulus 2-stage run:
+    rel-L2 1.29e-4 under f32 eval vs 3.17e-5 under f64, same weights).
+    One-shot on the test grid; negligible cost.  Returns numpy arrays
+    (u, f, exact_or_None)."""
+    cpu = jax.devices("cpu")[0]
+    x64_was = bool(jax.config.jax_enable_x64)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        p64 = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a, jnp.float64), cpu), params
+        )
+        z64 = jax.device_put(
+            jnp.asarray(np.asarray(X_star), jnp.float64), cpu
+        )
+        with jax.default_device(cpu):
+            u = np.asarray(jax.jit(predictor)(p64, z64))
+
+            def _f(p, z):
+                f = compiled.residual_fast(predictor, p, z)
+                if source_fn is not None:
+                    f = f - source_fn(z)
+                return f
+
+            f = np.asarray(jax.jit(_f)(p64, z64))
+            e = np.asarray(exact(z64)) if exact is not None else None
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+    return u, f, e
 
 
 def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None):
@@ -334,6 +372,7 @@ def run_training(
     prev_diag: Optional[Tuple[float, Optional[float]]] = None
     stage_results: List[StageResult] = []
     histories: List[np.ndarray] = []
+    fell_back = False  # set if any phase retried on CPU (honest reporting)
     chain_specs: List[dict] = []  # per-stage MLPSpec dicts for checkpoint meta
 
     for si, st in enumerate(spec.stages):
@@ -523,6 +562,7 @@ def run_training(
                 log(f"stage {stage_no}: *** Adam phase failed on the "
                     f"accelerator ({str(e).splitlines()[0][:100]}); "
                     f"RETRYING ON CPU — expect ~100x slower ***")
+                fell_back = True
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
                     res = phase(
@@ -640,6 +680,7 @@ def run_training(
                             f"accelerator "
                             f"({str(e).splitlines()[0][:100]}); "
                             f"RETRYING ON CPU — expect ~100x slower ***")
+                        fell_back = True
                         params, hist_lbfgs_full, n_rows = _lbfgs_on_cpu()
                 if lbfgs_dtype != dtype:
                     # return to the training dtype so later stages (frozen
@@ -690,30 +731,25 @@ def run_training(
             hist_adam = np.zeros((0, info_width), np.float64)
             hist_lbfgs = np.zeros((0, info_width), np.float64)
 
-        # --- evaluation + diagnostics
+        # --- evaluation + diagnostics (float64 on host: the metric must be
+        # more precise than the model it measures — see eval_stage_f64)
         frozen = _freeze(predictor, params)
-        u_star = jax.jit(frozen)(X_star)
-
-        def _f_eval(z):
-            f = compiled.residual_fast(predictor, params, z)
-            if source_fn is not None:
-                f = f - source_fn(z)
-            return f
-
-        f_star = jax.jit(_f_eval)(X_star)
+        u_star, f_star, exact64 = eval_stage_f64(
+            predictor, params, X_star, compiled, source_fn, problem.exact
+        )
 
         if problem.dim == 1:
-            U = np.asarray(u_star)[:, 0][None, :]     # [1, nx]
-            F = np.asarray(f_star)[:, 0][None, :]
+            U = u_star[:, 0][None, :]                 # [1, nx]
+            F = f_star[:, 0][None, :]
         else:
             ny, nx = int(spec.testing_size[1]), int(spec.testing_size[0])
-            U = np.asarray(u_star).reshape(ny, nx)
-            F = np.asarray(f_star).reshape(ny, nx)
+            U = u_star.reshape(ny, nx)
+            F = f_star.reshape(ny, nx)
 
         r_rms = float(rms(f_star))
         e_rms = None
-        if exact_star is not None:
-            e_rms = float(rms(u_star - exact_star))
+        if exact64 is not None:
+            e_rms = float(rms(u_star - exact64))
         log(f"stage {stage_no}: residual RMS {r_rms:.4e}"
             + (f", error RMS {e_rms:.4e}" if e_rms is not None else ""))
 
@@ -757,15 +793,17 @@ def run_training(
 
     final = stage_results[-1]
     rel_l2 = None
-    if exact_star is not None:
-        u_final = jax.jit(final.predictor_frozen)(X_star)
-        rel_l2 = float(loss_mod.relative_l2(u_final, exact_star))
+    if exact64 is not None:
+        # u_star/exact64 are the final stage's float64 host evaluation
+        rel_l2 = float(np.linalg.norm(u_star - exact64)
+                       / np.linalg.norm(exact64))
         log(f"final rel-L2 vs analytic: {rel_l2:.4e}")
 
     return TrainResult(
         problem=problem, spec=spec, stages=stage_results,
         predict=final.predictor_frozen, rel_l2=rel_l2,
         history=np.concatenate(histories, axis=0),
+        fell_back=fell_back,
     )
 
 
