@@ -147,7 +147,8 @@ def main():
         ],
         "final_loss": float(res.history[-1, 0]),
         "wall_secs": round(wall, 2),
-        "backend": jax.default_backend(),
+        "backend": ("cpu" if res.fell_back else jax.default_backend()),
+        "fell_back": res.fell_back,
         "config": {k: v for k, v in vars(args).items()
                    if k not in ("out_dir", "quiet")},
     }

@@ -156,7 +156,10 @@ def main():
             "total_steps": int(steps),
             "wall_secs": round(dt, 2),
             "final_loss": float(res.history[-1, 0]),
-            "backend": jax.default_backend(),
+            # a phase-level CPU retry means the numbers are NOT accelerator
+            # numbers, whatever the default backend claims
+            "backend": ("cpu" if res.fell_back else jax.default_backend()),
+            "fell_back": res.fell_back,
         }
         print(json.dumps(rec), flush=True)
         results.append(rec)
