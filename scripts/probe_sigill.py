@@ -90,15 +90,23 @@ def compile_grad(b):
     g.lower(b["params"], b["data0"], b["lw"], b["ref"]).compile()
 
 
-def compile_chunk(b, n_bc, n_steps=8):
+def compile_chunk(b, n_bc, n_steps=8, density=True, resample=True,
+                  plateau=True, options=None):
     info_width = loss_mod.loss_info_width(n_bc)
-    cfg = optim.AdamConfig(epochs=n_steps, lr=1e-3, log_every=10_000)
+    cfg = optim.AdamConfig(epochs=n_steps, lr=1e-3, log_every=10_000,
+                           plateau_every=4000 if plateau else 0)
     phase = optim.make_adam_phase(
-        b["loss_fn"], b["sample_fn"], b["density_fn"], cfg, info_width, None)
+        b["loss_fn"], b["sample_fn"] if resample else None,
+        b["density_fn"] if density else None,
+        cfg, info_width, None)
     state = phase.make_state0(b["key"], b["params"], b["data0"], b["F0"],
                               b["ref"])
-    phase.run_chunk.lower(
-        state, b["lw"], b["ref"], jnp.int32(0), n_steps).compile()
+    lowered = phase.run_chunk.lower(
+        state, b["lw"], b["ref"], jnp.int32(0), n_steps)
+    if options:
+        lowered.compile(compiler_options=options)
+    else:
+        lowered.compile()
 
 
 def compile_sampler(b):
@@ -115,6 +123,29 @@ def main():
 
     hh = lambda **kw: build(problems.helmholtz_2d(), **kw)
     ladder = {
+        # round-2 bisection: which chunk construct crashes the fusion pass?
+        "chunk_annulus": lambda: compile_chunk(
+            build(problems.annulus_laplace()), 2),
+        "chunk_hh_nod": lambda: compile_chunk(hh(), 4, density=False),
+        # bare scan: grad+adam only (no resample/density/plateau branches)
+        "chunk_hh_bare": lambda: compile_chunk(
+            hh(), 4, density=False, resample=False, plateau=False),
+        "chunk_hh_nores": lambda: compile_chunk(
+            hh(), 4, density=False, resample=False),
+        "chunk_hh_nopl": lambda: compile_chunk(
+            hh(), 4, density=False, plateau=False),
+        "chunk_p2d_bare": lambda: compile_chunk(
+            build(problems.poisson_2d()), 4,
+            density=False, resample=False, plateau=False),
+        # compiler-option escape hatches: disable the crashing fusion pass
+        # remotely (SIGILL stack: xla::jellyfish MainFusionOptimize /
+        # round-1 note: TpuPriorityFusionQueue)
+        "p2d_nofusion": lambda: compile_chunk(
+            build(problems.poisson_2d()), 4,
+            options={"xla_disable_hlo_passes": "priority-fusion,fusion"}),
+        "p2d_nolatefusion": lambda: compile_chunk(
+            build(problems.poisson_2d()), 4,
+            options={"xla_tpu_use_fuel_estimates_for_fusion": "false"}),
         # control: the annulus pieces all compile+run in production
         "grad_annulus": lambda: compile_grad(build(problems.annulus_laplace())),
         # helmholtz ladder, smallest graph first

@@ -106,7 +106,7 @@ def make_adam_phase(
         learning_rate=config.lr, b1=config.b1, b2=config.b2, eps=config.eps
     )
     grad_fn = jax.grad(loss_fn, has_aux=True)
-    ring_n = config.plateau_every
+    ring_n = max(1, config.plateau_every)
     half = config.plateau_every // 2  # reference: nc0-sized windows (:431-433)
     tail_window = max(1, int(round(config.epochs / 5)))
 
@@ -125,18 +125,20 @@ def make_adam_phase(
             ring = ring.at[step % ring_n].set(loss_info[0])
 
             # resample every `resample_every` steps (after the update, as in
-            # the reference loop ordering)
-            def do_resample(op):
-                key, data = op
-                key, sub = jax.random.split(key)
-                return key, sample_fn(sub, F)
+            # the reference loop ordering); sample_fn=None drops the whole
+            # block from the graph (fixed point set / compile bisection)
+            if sample_fn is not None:
+                def do_resample(op):
+                    key, data = op
+                    key, sub = jax.random.split(key)
+                    return key, sample_fn(sub, F)
 
-            key, data = jax.lax.cond(
-                (step % config.resample_every == 0) & (step > 0),
-                do_resample,
-                lambda op: op,
-                (key, data),
-            )
+                key, data = jax.lax.cond(
+                    (step % config.resample_every == 0) & (step > 0),
+                    do_resample,
+                    lambda op: op,
+                    (key, data),
+                )
 
             # adaptive-density refresh every `density_every` steps
             if density_fn is not None:
@@ -148,6 +150,7 @@ def make_adam_phase(
                 )
 
             # plateau-detect LR halving every `plateau_every` steps
+            # (plateau_every=0 drops the block from the graph)
             def maybe_halve(opt_state):
                 lc1 = jax.lax.dynamic_slice(ring, (0,), (half,))
                 lc2 = jax.lax.dynamic_slice(ring, (half,), (ring_n - half,))
@@ -161,12 +164,13 @@ def make_adam_phase(
                 hp["learning_rate"] = new_lr
                 return opt_state._replace(hyperparams=hp)
 
-            opt_state = jax.lax.cond(
-                (step + 1) % config.plateau_every == 0,
-                maybe_halve,
-                lambda s: s,
-                opt_state,
-            )
+            if config.plateau_every > 0:
+                opt_state = jax.lax.cond(
+                    (step + 1) % config.plateau_every == 0,
+                    maybe_halve,
+                    lambda s: s,
+                    opt_state,
+                )
 
             return (params, opt_state, data, F, key, ring), loss_info
 
