@@ -83,6 +83,9 @@ def main():
     p.add_argument("--grid", type=int, default=111)
     p.add_argument("--platform", default=None)
     p.add_argument("--cpu-fallback", action="store_true")
+    p.add_argument("--hard-bc", action="store_true",
+                   help="pose with the preset's hard Dirichlet ansatz "
+                        "(problems.HARD_BC)")
     p.add_argument("--tag", required=True)
     p.add_argument("--out-dir", default="out/acc")
     p.add_argument("--save-artifacts", action="store_true",
@@ -107,6 +110,8 @@ def main():
     from tpinn.core.train import TrainSpec
 
     problem = problems.get_problem(args.problem)
+    if args.hard_bc:
+        problem = problems.with_hard_bc(problem)
     tokens = args.stages.split(",")
     stages = tuple(
         parse_stage(tok, args, first=(i == 0)) for i, tok in enumerate(tokens)

@@ -66,6 +66,18 @@ def build(problem, n_col=256, n_band=64, n_adaptive=64, n_bd=32, grid=41,
                 n_bc=len(problem.bc_groups))
 
 
+def _replace_spec(problem, **kw):
+    import dataclasses
+
+    return dataclasses.replace(problem, **kw)
+
+
+def _with_remat(b):
+    b = dict(b)
+    b["loss_fn"] = jax.checkpoint(b["loss_fn"])
+    return b
+
+
 def probe(name, thunk):
     t0 = time.perf_counter()
     try:
@@ -109,6 +121,32 @@ def compile_chunk(b, n_bc, n_steps=8, density=True, resample=True,
         lowered.compile()
 
 
+def compile_scan_variant(b, aux=True, optimizer="adam", n_steps=8):
+    """Minimal scan-over-update probes built outside make_adam_phase:
+    isolate the history stacking (aux) and the optax graph."""
+    import optax
+
+    loss_fn = b["loss_fn"]
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+    if optimizer == "adam":
+        opt = optax.adam(1e-3)
+    else:
+        opt = optax.sgd(1e-3)
+    opt_state0 = opt.init(b["params"])
+
+    def body(carry, _):
+        params, opt_state = carry
+        grads, info = grad_fn(params, b["data0"], b["lw"], b["ref"])
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), (info if aux else None)
+
+    def run(params, opt_state):
+        return jax.lax.scan(body, (params, opt_state), None, length=n_steps)
+
+    jax.jit(run).lower(b["params"], opt_state0).compile()
+
+
 def compile_sampler(b):
     jax.jit(b["sample_fn"]).lower(b["key"], b["F0"]).compile()
 
@@ -146,6 +184,27 @@ def main():
         "p2d_nolatefusion": lambda: compile_chunk(
             build(problems.poisson_2d()), 4,
             options={"xla_tpu_use_fuel_estimates_for_fusion": "false"}),
+        # structural discrimination vs the annulus (which compiles):
+        # feature map (periodic vs minmax-only) and BC-group count
+        "ann_minmax": lambda: compile_chunk(
+            build(_replace_spec(problems.annulus_laplace(),
+                                feature_kinds=(net.MINMAX, net.MINMAX))), 2),
+        "p2d_2bc": lambda: compile_chunk(
+            build(_replace_spec(problems.poisson_2d(),
+                                bc_groups=problems.poisson_2d()
+                                .bc_groups[:2])), 2),
+        "p2d_remat": lambda: compile_chunk(
+            _with_remat(build(problems.poisson_2d())), 4),
+        "p2d_scan_min": lambda: compile_scan_variant(
+            build(problems.poisson_2d())),
+        "p2d_scan_noaux": lambda: compile_scan_variant(
+            build(problems.poisson_2d()), aux=False),
+        "p2d_scan_sgd": lambda: compile_scan_variant(
+            build(problems.poisson_2d()), optimizer="sgd"),
+        "ann_4bc": lambda: compile_chunk(
+            build(_replace_spec(problems.annulus_laplace(),
+                                bc_groups=problems.annulus_laplace()
+                                .bc_groups * 2)), 4),
         # control: the annulus pieces all compile+run in production
         "grad_annulus": lambda: compile_grad(build(problems.annulus_laplace())),
         # helmholtz ladder, smallest graph first

@@ -114,3 +114,30 @@ def test_fourier_and_modified_families():
         # must be differentiable for PINN residuals
         g = jax.grad(lambda p: jnp.sum(f_u(p, z) ** 2))(params)
         assert net.num_params(g) == net.num_params(params)
+
+
+def test_hard_bc_wrapper_exact_on_boundary():
+    """u = lift + bubble*N meets Dirichlet data to machine precision for
+    any network output (net.wrap_hard_bc; annulus lift/bubble recipe)."""
+    from tpinn.core import pde
+
+    fm = net.feature_map_for(["minmax", "periodic"])
+    spec = net.MLPSpec(depth=2, width=8)
+    lb, ub = jnp.asarray([0.1, 0.0]), jnp.asarray([1.0, 6.2831853])
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm)
+    raw = net.make_predictor(spec, fm, lb, ub)
+    coords = ("r", "t")
+    lift = pde.compile_coord_expr("(1 - r)/0.9", coords)
+    bubble = pde.compile_coord_expr("(r - 0.1)*(1 - r)", coords)
+    f = net.wrap_hard_bc(raw, lift, bubble)
+
+    t = jnp.linspace(0.0, 6.28, 9)[:, None]
+    z_in = jnp.concatenate([jnp.full_like(t, 0.1), t], axis=1)
+    z_out = jnp.concatenate([jnp.full_like(t, 1.0), t], axis=1)
+    assert float(jnp.max(jnp.abs(f(params, z_in) - 1.0))) < 1e-6
+    assert float(jnp.max(jnp.abs(f(params, z_out)))) < 1e-6
+    # interior differs from the lift (the net contributes)
+    z_mid = jnp.concatenate([jnp.full_like(t, 0.5), t], axis=1)
+    assert float(jnp.max(jnp.abs(f(params, z_mid) - lift(z_mid)))) > 0.0
+    # raw chain stays reachable for stage composition
+    assert f.tpinn_raw is raw

@@ -62,7 +62,8 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
  <div class="card"><h3>Equation (residual = 0, or lhs = rhs)</h3>
   <input id="equation" value="u_rr + 1/r*u_r + 1/r**2*u_tt" spellcheck="false">
   <div class="legend">ops + - * / ** ( ), vars r t x y u, derivatives u_r u_rr u_rt…,
-  functions sin cos exp log sqrt tanh, constants pi e, optional “lhs = rhs”.</div>
+  functions sin cos exp log sqrt tanh, constants pi e, optional “lhs = rhs”.
+  A one-coordinate equation is posed on the (x,&nbsp;t) rectangle.</div>
  </div>
  <div class="card"><h3>Boundary conditions <button class="small" onclick="addBC()">+</button>
   <button class="small" onclick="delBC()">−</button></h3><div id="bcs"></div>

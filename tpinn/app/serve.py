@@ -79,6 +79,14 @@ class PINNServer:
             )
             template = net.init_params(jax.random.PRNGKey(0), spec, fm)
             predictor = net.make_predictor(spec, fm, lb, ub)
+        if meta.get("hard_bc"):
+            # rebuild the hard-BC ansatz around the raw chain (train.py
+            # saves the expression strings in the checkpoint meta)
+            coords = tuple(meta.get("coords", problem.coords))
+            lift_fn, bubble_fn = (
+                pde.compile_coord_expr(e, coords) for e in meta["hard_bc"]
+            )
+            predictor = net.wrap_hard_bc(predictor, lift_fn, bubble_fn)
         self.params, _ = ckpt.load_pytree(checkpoint, template)
         self.predictor = predictor
         self._predict = jax.jit(self.predictor)

@@ -283,6 +283,28 @@ def compose_params(stage_params, prev_params) -> dict:
     return {"stage": stage_params, "prev": prev_params}
 
 
+def wrap_hard_bc(raw_predictor, lift_fn, bubble_fn):
+    """Hard boundary-condition ansatz ``u(z) = lift(z) + bubble(z)·N(z)``.
+
+    ``lift`` satisfies the Dirichlet data exactly, ``bubble`` vanishes on
+    the constrained boundary, so u meets the BCs to machine precision for
+    ANY network output and the optimizer spends its whole budget on the
+    residual.  (The reference imposes BCs only through loss penalties;
+    hard constraints are a deliberate capability extension — the measured
+    soft-BC error floor on the annulus is the dominant rel-L2 term.)
+
+    The wrapper keeps the raw chain accessible (``tpinn_raw``,
+    ``tpinn_hard``) so stage composition can extend the chain INSIDE the
+    bubble (otherwise later stages would reintroduce boundary error)."""
+
+    def f_hard(params, z):
+        return lift_fn(z) + bubble_fn(z) * raw_predictor(params, z)
+
+    f_hard.tpinn_raw = raw_predictor
+    f_hard.tpinn_hard = (lift_fn, bubble_fn)
+    return f_hard
+
+
 def spec_to_dict(spec: MLPSpec) -> dict:
     from dataclasses import asdict
 

@@ -60,6 +60,9 @@ class ProblemSpec:
     feature_kinds: Tuple[str, ...] = None  # defaults to all-minmax
     exact: Optional[Callable[[Array], Array]] = None  # analytic solution z->u
     source: Optional[str] = None           # forcing g(z): residual -= g
+    # hard Dirichlet constraints: coordinate-expression strings
+    # (lift, bubble) -> u = lift(z) + bubble(z)·N(z); see net.wrap_hard_bc
+    hard_bc: Optional[Tuple[str, str]] = None
 
     def __post_init__(self):
         if self.feature_kinds is None:
@@ -350,6 +353,11 @@ def run_training(
         if problem.source
         else None
     )
+    hard_fns = None
+    if problem.hard_bc is not None:
+        hard_fns = tuple(
+            pde.compile_coord_expr(e, problem.coords) for e in problem.hard_bc
+        )
     feature_map = net.feature_map_for(problem.feature_kinds)
     lb = jnp.asarray(problem.lb, dtype)
     ub = jnp.asarray(problem.ub, dtype)
@@ -405,15 +413,19 @@ def run_training(
         params = net.init_params(keys[4 * si], mspec, feature_map, dtype)
         chain_specs.append(net.spec_to_dict(mspec))
         if prev_predictor is None:
-            predictor = net.make_predictor(mspec, feature_map, lb, ub)
+            raw_predictor = net.make_predictor(mspec, feature_map, lb, ub)
         else:
             # frozen previous-stage params are threaded as ARGUMENTS (the
             # "prev" subtree, gradients stopped) rather than closure
             # constants — see net.compose_stages
-            predictor = net.compose_stages(
+            raw_predictor = net.compose_stages(
                 prev_predictor, mspec, feature_map, lb, ub
             )
             params = net.compose_params(params, prev_params)
+        # hard-BC ansatz wraps the WHOLE raw chain (later stages correct
+        # inside the bubble, keeping the boundary machine-exact)
+        predictor = (net.wrap_hard_bc(raw_predictor, *hard_fns)
+                     if hard_fns is not None else raw_predictor)
 
         # --- sampler (counts scaled per stage, software.py:959)
         sc = st.sample_scale
@@ -705,6 +717,10 @@ def run_training(
                     if not compiled.is_linear and spec.lsq_polish == "auto":
                         log(f"stage {stage_no}: lsq_polish skipped "
                             f"(equation nonlinear in u)")
+                    elif hard_fns is not None:
+                        log(f"stage {stage_no}: lsq_polish skipped "
+                            f"(hard-BC ansatz; last-layer split not "
+                            f"supported yet)")
                     else:
                         from tpinn.core import polish as polish_mod
 
@@ -773,7 +789,10 @@ def run_training(
                       # act_first/scl/epsil of every stage
                       "chain": chain_specs,
                       "feature_kinds": list(problem.feature_kinds),
-                      "lb": list(problem.lb), "ub": list(problem.ub)},
+                      "lb": list(problem.lb), "ub": list(problem.ub),
+                      "hard_bc": (list(problem.hard_bc)
+                                  if problem.hard_bc else None),
+                      "coords": list(problem.coords)},
             )
             # the stage-level checkpoint supersedes any mid-stage Adam state
             mid = out / f"adam_state_stage_{stage_no}.npz"
@@ -787,7 +806,7 @@ def run_training(
                 U=U, F=F, scl=float(scl), epsil=float(epsil),
             )
         )
-        prev_predictor = predictor
+        prev_predictor = raw_predictor  # composition extends the raw chain
         prev_params = params
         prev_diag = (r_rms, e_rms)
 

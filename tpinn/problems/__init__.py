@@ -182,3 +182,35 @@ def get_problem(name: str) -> ProblemSpec:
         raise KeyError(
             f"unknown problem {name!r}; available: {sorted(PRESETS)}"
         ) from None
+
+
+# Hard Dirichlet ansatz (lift, bubble) per preset: u = lift + bubble·N
+# meets the BC/IC data to machine precision for any network output
+# (net.wrap_hard_bc).  The lift interpolates the boundary data (transfinite
+# blending for non-constant traces); the bubble vanishes exactly on the
+# constrained boundary.  Opt-in: ProblemSpec.hard_bc stays None by default
+# so the presets keep the reference's soft-penalty semantics.
+_K = 20.0  # helmholtz_2d default wavenumber
+
+
+def _helmholtz_hard(k: float = _K):
+    lift = (f"x*sin({k})*sin({k}*y) + y*sin({k}*x)*sin({k}) "
+            f"- x*y*sin({k})*sin({k})")
+    return (lift, "x*(1 - x)*y*(1 - y)")
+
+
+HARD_BC = {
+    "annulus_laplace": ("(1 - r)/0.9", "(r - 0.1)*(1 - r)"),
+    "poisson_1d": ("0", "x*(1 - x)"),
+    "burgers_1d": ("sin(pi*x)", "t*(1 - x**2)"),
+    "poisson_2d": ("0", "x*(1 - x)*y*(1 - y)"),
+    "heat_2d": ("sin(pi*x)", "t*x*(1 - x)"),
+    "helmholtz_2d": _helmholtz_hard(),
+}
+
+
+def with_hard_bc(problem: ProblemSpec) -> ProblemSpec:
+    """The preset posed with its hard-BC ansatz (KeyError if no recipe)."""
+    import dataclasses
+
+    return dataclasses.replace(problem, hard_bc=HARD_BC[problem.name])
