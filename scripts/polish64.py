@@ -73,6 +73,11 @@ def main():
         predictor = net.compose_stages(predictor, s, fm, lb, ub)
         template = net.compose_params(
             net.init_params(jax.random.PRNGKey(0), s, fm, dtype), template)
+    if meta.get("hard_bc"):
+        coords = tuple(meta.get("coords", problem.coords))
+        lift_fn, bubble_fn = (pde.compile_coord_expr(e, coords)
+                              for e in meta["hard_bc"])
+        predictor = net.wrap_hard_bc(predictor, lift_fn, bubble_fn)
     params, _ = ckpt.load_pytree(args.checkpoint, template)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
@@ -95,7 +100,7 @@ def main():
     print(f"L-BFGS {int(n_rows) - 1} accepted iters: loss {l0:.4e} -> "
           f"{l1:.4e} ({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
 
-    if args.lsq and compiled.is_linear:
+    if args.lsq and compiled.is_linear and not meta.get("hard_bc"):
         from tpinn.core import polish as polish_mod
 
         params, pinfo = polish_mod.last_layer_lsq(
