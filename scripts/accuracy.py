@@ -83,6 +83,9 @@ def main():
     p.add_argument("--grid", type=int, default=111)
     p.add_argument("--platform", default=None)
     p.add_argument("--cpu-fallback", action="store_true")
+    p.add_argument("--pad-features", type=int, default=0,
+                   help="minimum input-embedding width (TrainSpec."
+                        "pad_features; 3 = tunneled-TPU SIGILL workaround)")
     p.add_argument("--hard-bc", action="store_true",
                    help="pose with the preset's hard Dirichlet ansatz "
                         "(problems.HARD_BC)")
@@ -120,6 +123,7 @@ def main():
     spec = TrainSpec(
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
+        pad_features=args.pad_features,
         seed=args.seed, lr=args.lr, grid=args.grid,
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lsq_polish=args.lsq_polish, engine=args.engine,

@@ -35,11 +35,11 @@ DTYPE = jnp.float32
 
 
 def build(problem, n_col=256, n_band=64, n_adaptive=64, n_bd=32, grid=41,
-          engine="generic", depth=3, width=32):
+          engine="generic", depth=3, width=32, pad=0):
     compiled = pde.compile_pde(problem.equation, problem.coords)
     source_fn = (pde.compile_coord_expr(problem.source, problem.coords)
                  if problem.source else None)
-    feature_map = net.feature_map_for(problem.feature_kinds)
+    feature_map = net.feature_map_for(problem.feature_kinds, pad_to=pad)
     lb = jnp.asarray(problem.lb, DTYPE)
     ub = jnp.asarray(problem.ub, DTYPE)
     mspec = net.MLPSpec(depth=depth, width=width, scl=1.0, epsil=1.0)
@@ -197,6 +197,26 @@ def main():
             _with_remat(build(problems.poisson_2d())), 4),
         "p2d_scan_min": lambda: compile_scan_variant(
             build(problems.poisson_2d())),
+        # feature-width hypothesis: ann_minmax (2 cols) crashes while the
+        # annulus minmax+periodic (3 cols) compiles — is 3 columns enough?
+        # THE candidate fix: pad the feature embedding to 3 columns
+        # (duplicate of column 0 — model class unchanged)
+        "p2d_pad3": lambda: compile_chunk(
+            build(problems.poisson_2d(), pad=3), 4),
+        "hh_pad3": lambda: compile_chunk(
+            build(problems.helmholtz_2d(), pad=3), 4),
+        "p2d_periodic": lambda: compile_chunk(
+            build(_replace_spec(problems.poisson_2d(),
+                                feature_kinds=(net.MINMAX, net.PERIODIC))),
+            4),
+        "p2d_identity": lambda: compile_chunk(
+            build(_replace_spec(problems.poisson_2d(),
+                                feature_kinds=(net.IDENTITY, net.IDENTITY))),
+            4),
+        "hh_periodic": lambda: compile_chunk(
+            build(_replace_spec(problems.helmholtz_2d(),
+                                feature_kinds=(net.MINMAX, net.PERIODIC))),
+            4),
         "p2d_scan_noaux": lambda: compile_scan_variant(
             build(problems.poisson_2d()), aux=False),
         "p2d_scan_sgd": lambda: compile_scan_variant(

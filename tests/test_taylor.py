@@ -130,3 +130,23 @@ def test_siren_style_all_sin():
         np.testing.assert_allclose(np.asarray(fused[ix]),
                                    np.asarray(generic[ix]),
                                    rtol=3e-4, atol=1e-5, err_msg=str(ix))
+
+
+def test_taylor2_padded_features_matches_generic():
+    """FeatureMap.pad_to duplicates column 0 (SIGILL workaround): the fused
+    stream construction must carry the duplicate's derivative streams."""
+    fm = net.feature_map_for(("minmax", "minmax"), pad_to=3)
+    spec = net.MLPSpec(depth=3, width=20, scl=1.5, epsil=0.7)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm)
+    assert params["layers"][0]["w"].shape[0] == 3
+    lb, ub = jnp.array([0.0, 0.0]), jnp.array([1.0, 1.0])
+    predictor = net.make_predictor(spec, fm, lb, ub)
+    z = jax.random.uniform(jax.random.PRNGKey(1), (29, 2), minval=0.1,
+                           maxval=0.9)
+    fused = predictor.tpinn_partials(params, z, IDX)
+    generic = deriv.partials(lambda zz: predictor(params, zz), z, IDX)
+    for ix in IDX:
+        np.testing.assert_allclose(
+            np.asarray(fused[ix]), np.asarray(generic[ix]),
+            rtol=2e-4, atol=1e-5, err_msg=str(ix),
+        )

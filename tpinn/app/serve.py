@@ -52,7 +52,8 @@ class PINNServer:
         lb = jnp.asarray(meta.get("lb", problem.lb))
         ub = jnp.asarray(meta.get("ub", problem.ub))
         if meta.get("feature_kinds"):
-            fm = net.feature_map_for(tuple(meta["feature_kinds"]))
+            fm = net.feature_map_for(tuple(meta["feature_kinds"]),
+                                     pad_to=meta.get("pad_features", 0))
         if "chain" in meta:
             # rebuild the full multilevel chain exactly as trained — every
             # stage's act_first/scl/epsil comes from the saved spec, and the

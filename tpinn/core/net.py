@@ -71,13 +71,22 @@ class FeatureMap:
     ``kinds[i]`` ∈ {"minmax", "periodic", "identity"} selects the embedding
     of coordinate i.  The reference's hard 2π-periodicity constraint in θ is
     ``kinds = ("minmax", "periodic")``.
-    """
+
+    ``pad_to``: minimum output width — duplicates of the first column are
+    appended until the embedding has at least this many columns.  The model
+    class is unchanged (a duplicated input spans the same functions); the
+    knob exists because the tunneled-TPU XLA fusion pass SIGILLs on scanned
+    training graphs whose first-layer contraction is exactly 2 wide
+    (scripts/probe_sigill.py bisection: every width-2 preset crashes, every
+    width-3 one compiles)."""
 
     kinds: Tuple[str, ...]
+    pad_to: int = 0
 
     @property
     def num_features(self) -> int:
-        return sum(_FEATURE_WIDTH[k] for k in self.kinds)
+        base = sum(_FEATURE_WIDTH[k] for k in self.kinds)
+        return max(base, self.pad_to)
 
     def __call__(self, z: Array, lb: Array, ub: Array) -> Array:
         cols = []
@@ -92,14 +101,16 @@ class FeatureMap:
                 cols.append(x)
             else:  # pragma: no cover - guarded by dataclass construction
                 raise ValueError(f"unknown feature kind {kind!r}")
+        while len(cols) < self.pad_to:
+            cols.append(cols[0])
         return jnp.concatenate(cols, axis=1)
 
 
-def feature_map_for(kinds: Sequence[str]) -> FeatureMap:
+def feature_map_for(kinds: Sequence[str], pad_to: int = 0) -> FeatureMap:
     for k in kinds:
         if k not in _FEATURE_WIDTH:
             raise ValueError(f"unknown feature kind {k!r}")
-    return FeatureMap(tuple(kinds))
+    return FeatureMap(tuple(kinds), pad_to=int(pad_to))
 
 
 # ---------------------------------------------------------------------------

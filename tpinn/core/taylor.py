@@ -99,6 +99,12 @@ def feature_streams(
                 else:
                     out = [zero]
             cols_per_stream[si].extend(out)
+    # width padding duplicates column 0 (FeatureMap.pad_to) — same values
+    # AND same derivative streams
+    pad_to = getattr(fm, "pad_to", 0)
+    for cols in cols_per_stream:
+        while len(cols) < pad_to:
+            cols.append(cols[0])
     return jnp.stack(
         [jnp.concatenate(cols, axis=1) for cols in cols_per_stream], axis=0
     )

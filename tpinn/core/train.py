@@ -167,6 +167,12 @@ class TrainSpec:
     # different XLA graph shape — also the workaround for tunneled-TPU
     # compiler crashes observed on some fused graphs (Fourier features).
     engine: str = "auto"
+    # Minimum input-embedding width (net.FeatureMap.pad_to): pads the
+    # feature columns with duplicates of column 0.  The model class is
+    # unchanged; 3 works around a tunneled-TPU XLA fusion-pass SIGILL on
+    # scanned training graphs with 2-wide first-layer contractions
+    # (scripts/probe_sigill.py bisection).
+    pad_features: int = 0
     # Mid-stage checkpoint cadence (steps, rounded up to the dispatch-chunk
     # grid; 0 = stage-level only).  With ``run_training(resume=True)`` a
     # killed run resumes the Adam phase at the last saved chunk with
@@ -358,7 +364,8 @@ def run_training(
         hard_fns = tuple(
             pde.compile_coord_expr(e, problem.coords) for e in problem.hard_bc
         )
-    feature_map = net.feature_map_for(problem.feature_kinds)
+    feature_map = net.feature_map_for(problem.feature_kinds,
+                                      pad_to=spec.pad_features)
     lb = jnp.asarray(problem.lb, dtype)
     ub = jnp.asarray(problem.ub, dtype)
 
@@ -792,7 +799,8 @@ def run_training(
                       "lb": list(problem.lb), "ub": list(problem.ub),
                       "hard_bc": (list(problem.hard_bc)
                                   if problem.hard_bc else None),
-                      "coords": list(problem.coords)},
+                      "coords": list(problem.coords),
+                      "pad_features": spec.pad_features},
             )
             # the stage-level checkpoint supersedes any mid-stage Adam state
             mid = out / f"adam_state_stage_{stage_no}.npz"

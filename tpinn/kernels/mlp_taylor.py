@@ -38,9 +38,10 @@ Array = jax.Array
 DEFAULT_BLOCK = 512
 
 
-def _feature_streams_kernel(z, kinds, lb, ub, streams):
+def _feature_streams_kernel(z, kinds, lb, ub, streams, pad_to=0):
     """Feature stream construction inside the kernel (same rules as
-    taylor.feature_streams, written on [B, d] VMEM values)."""
+    taylor.feature_streams, written on [B, d] VMEM values; pad_to
+    duplicates column 0 incl. its derivative streams)."""
     B = z.shape[0]
     dtype = z.dtype
     zero = jnp.zeros((B, 1), dtype)
@@ -73,6 +74,9 @@ def _feature_streams_kernel(z, kinds, lb, ub, streams):
                     per_stream[si].append(d1)
                 else:
                     per_stream[si].append(zero)
+    for cols in per_stream:
+        while len(cols) < pad_to:
+            cols.append(cols[0])
     return [jnp.concatenate(cols, axis=1) for cols in per_stream]
 
 
@@ -85,7 +89,8 @@ def _act(name, x):
     return a, jnp.cos(x), -a
 
 
-def _make_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers):
+def _make_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers,
+                 pad_to=0):
     pos = {st: k for k, st in enumerate(streams)}
     S = len(streams)
 
@@ -94,7 +99,7 @@ def _make_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers):
         out_ref = refs[2 * n_layers]
         z = z_ref[:]
         B = z.shape[0]
-        hs = _feature_streams_kernel(z, kinds, lb, ub, streams)
+        hs = _feature_streams_kernel(z, kinds, lb, ub, streams, pad_to)
         H = jnp.concatenate(hs, axis=0)  # [S*B, nf]
 
         for li in range(n_layers):
@@ -162,7 +167,8 @@ def taylor2_streams_pallas(
     if N_pad != N:
         z = jnp.pad(z, ((0, N_pad - N), (0, 0)), constant_values=0.5)
 
-    kernel = _make_kernel(spec, fm.kinds, lb, ub, streams, n_layers)
+    kernel = _make_kernel(spec, fm.kinds, lb, ub, streams, n_layers,
+                          getattr(fm, 'pad_to', 0))
 
     weight_args = []
     in_specs = [

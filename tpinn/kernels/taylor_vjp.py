@@ -63,7 +63,8 @@ def _act3(name: str, x0: Array, a: Array, d1: Array) -> Array:
     return -jnp.cos(x0)  # sin
 
 
-def _make_bwd_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers):
+def _make_bwd_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers,
+                     pad_to=0):
     pos = {st: k for k, st in enumerate(streams)}
     S = len(streams)
     firsts = [st for st in streams if len(st) == 1]
@@ -80,7 +81,7 @@ def _make_bwd_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers):
         row = lambda M, k: M[k * B : (k + 1) * B]
 
         # ---- forward recompute, stacks kept in VMEM
-        hs = _feature_streams_kernel(z, kinds, lb, ub, streams)
+        hs = _feature_streams_kernel(z, kinds, lb, ub, streams, pad_to)
         H = jnp.concatenate(hs, axis=0)                  # [S*B, nf]
         Hs: List[Array] = []
         Xs: List[Array] = []
@@ -197,7 +198,8 @@ def taylor2_backward_pallas(
         z = jnp.pad(z, ((0, N_pad - N), (0, 0)), constant_values=0.5)
         ct = jnp.pad(ct, ((0, N_pad - N), (0, 0)))  # zero ct: no gradient
 
-    kernel = _make_bwd_kernel(spec, fm.kinds, lb, ub, streams, n_layers)
+    kernel = _make_bwd_kernel(spec, fm.kinds, lb, ub, streams, n_layers,
+                              getattr(fm, 'pad_to', 0))
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
