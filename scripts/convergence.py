@@ -131,8 +131,11 @@ def main():
     # campaign completion is best-effort per preset: opt into the (loudly
     # logged) CPU retry rather than losing a whole preset to a tunneled-
     # compiler crash; parent_main additionally isolates each preset in a
-    # subprocess for hard crashes
-    CAMPAIGN = {k: _replace(v, cpu_fallback=True) for k, v in CAMPAIGN.items()}
+    # subprocess for hard crashes.  pad_features=3 is the measured
+    # workaround for that crash (no-op for embeddings already >=3 wide;
+    # see net.FeatureMap.pad_to).
+    CAMPAIGN = {k: _replace(v, cpu_fallback=True, pad_features=3)
+                for k, v in CAMPAIGN.items()}
 
     only = set(args.only.split(",")) if args.only else None
     results = []
