@@ -30,18 +30,22 @@ def parse_stage(token: str, args, first: bool):
     act = parts[1] if len(parts) > 1 else "tanh"
     ff, fs, modified = 0, 1.0, False
     act_hidden = "tanh"
+    scl_override = None
     for p in parts[2:]:
         if p.startswith("ff"):
             ff = int(p[2:])
         elif p.startswith("fs"):
             fs = float(p[2:])
+        elif p.startswith("scl"):
+            scl_override = float(p[3:])  # cap stage-k input scaling
         elif p == "mod":
             modified = True
         elif p == "siren":
             act_hidden = "sin"
     return StageSpec(
         depth=depth, width=width, act_first=act, act_hidden=act_hidden,
-        scl=1.0 if first else None, epsil=1.0 if first else None,
+        scl=(1.0 if first else scl_override),  # None = auto-derive
+        epsil=1.0 if first else None,
         adam_epochs=args.adam if first else int(args.adam * args.stage2_mult),
         lbfgs_epochs=args.lbfgs if first else int(args.lbfgs * args.stage2_mult),
         sample_scale=1.0 if first else args.sample_scale2,
