@@ -100,7 +100,7 @@ def main():
     print(f"L-BFGS {int(n_rows) - 1} accepted iters: loss {l0:.4e} -> "
           f"{l1:.4e} ({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
 
-    if args.lsq and compiled.is_linear and not meta.get("hard_bc"):
+    if args.lsq and compiled.is_linear:
         from tpinn.core import polish as polish_mod
 
         params, pinfo = polish_mod.last_layer_lsq(

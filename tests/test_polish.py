@@ -114,3 +114,62 @@ def test_lsq_polish_exact_recovery():
     assert rec["post"] < 1e-18, rec
     assert rec["err_w"] < 1e-7, rec
     assert rec["u_err"] < 1e-9, rec
+
+
+HARD_LSQ_SCRIPT = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, __ROOT__)
+import jax.numpy as jnp
+from tpinn.core import deriv, net, pde, polish
+
+# hard-BC ansatz u = lift + bubble*N: the last-layer subproblem is still
+# linear (bubble-scaled features, bubble bias basis, lift in the affine
+# part); exact recovery after a last-layer perturbation proves the split.
+fm = net.feature_map_for((net.MINMAX,))
+spec = net.MLPSpec(depth=3, width=16, scl=1.0, epsil=0.7)
+params_true = net.init_params(jax.random.PRNGKey(0), spec, fm, jnp.float64)
+raw = net.make_predictor(spec, fm, jnp.asarray([0.0]), jnp.asarray([1.0]))
+lift = pde.compile_coord_expr("1 - x", ("x",))
+bubble = pde.compile_coord_expr("x*(1 - x)", ("x",))
+pred = net.wrap_hard_bc(raw, lift, bubble)
+u_star = lambda z: pred(params_true, z)
+
+compiled = pde.compile_pde("u_xx", coords=("x",))
+source = lambda z: deriv.partials(u_star, z, [(0, 0)])[(0, 0)]
+
+z_col = jnp.linspace(0.0, 1.0, 257, dtype=jnp.float64)[:, None]
+data = {"x_col": z_col, "x_bd": [], "u_bd": []}
+
+params0 = dict(params_true)
+params0["layers"] = list(params_true["layers"][:-1]) + [
+    {"w": params_true["layers"][-1]["w"] + 0.5,
+     "b": params_true["layers"][-1]["b"] - 0.3}]
+
+new_params, info = polish.last_layer_lsq(
+    pred, compiled, params0, data, lw0=1.0, source_fn=source)
+err_w = float(jnp.max(jnp.abs(
+    new_params["layers"][-1]["w"] - params_true["layers"][-1]["w"])))
+u_err = float(jnp.max(jnp.abs(pred(new_params, z_col) - u_star(z_col))))
+# boundary exactness is structural, but assert anyway
+zb = jnp.asarray([[0.0], [1.0]], jnp.float64)
+bc_err = float(jnp.max(jnp.abs(pred(new_params, zb) - lift(zb))))
+print(json.dumps({"pre": info["pre"], "post": info["post"],
+                  "applied": info["applied"], "err_w": err_w,
+                  "u_err": u_err, "bc_err": bc_err}))
+"""
+
+
+def test_lsq_polish_hard_bc_exact_recovery():
+    code = HARD_LSQ_SCRIPT.replace("__ROOT__", repr(str(ROOT)))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["applied"] is True
+    assert rec["post"] < 1e-16, rec
+    assert rec["err_w"] < 1e-6, rec
+    assert rec["u_err"] < 1e-8, rec
+    assert rec["bc_err"] == 0.0, rec

@@ -116,6 +116,14 @@ def last_layer_lsq(
     if dtype == jnp.float64:
         jax.config.update("jax_enable_x64", True)
 
+    # hard-BC ansatz u = lift + bubble·raw: the subproblem stays linear
+    # with bubble-scaled features, bubble as the bias basis function, the
+    # lift folded into the affine part, and the BC rows identically zero
+    hard = getattr(predictor, "tpinn_hard", None)
+    if hard is not None:
+        lift_fn, bubble_fn = hard
+        predictor = predictor.tpinn_raw
+
     spec, fm, lb, ub, stage_params, prev_fn, rebuild = _split_predictor(
         predictor, _cast(params, dtype)
     )
@@ -123,8 +131,24 @@ def last_layer_lsq(
     lb = jnp.asarray(lb, dtype)
     ub = jnp.asarray(ub, dtype)
 
-    def h_fn(z):
-        return net.mlp_hidden(stage_params, fm(z, lb, ub), spec)
+    if hard is not None:
+        raw_prev = prev_fn
+        if raw_prev is not None:
+            prev_fn = lambda z: lift_fn(z) + bubble_fn(z) * raw_prev(z)
+        else:
+            prev_fn = lift_fn
+
+        def h_fn(z):
+            return bubble_fn(z) * net.mlp_hidden(stage_params, fm(z, lb, ub),
+                                                 spec)
+
+        def bias_fn(z):
+            return bubble_fn(z)
+    else:
+        def h_fn(z):
+            return net.mlp_hidden(stage_params, fm(z, lb, ub), spec)
+
+        bias_fn = None
 
     eps = jnp.asarray(spec.epsil, dtype)
     z_col = data["x_col"]
@@ -139,9 +163,13 @@ def last_layer_lsq(
     c_res = d
     if prev_fn is not None:
         prev_parts = deriv.partials(prev_fn, z_col, compiled.indices)
+    if bias_fn is not None:
+        bias_parts = deriv.partials(bias_fn, z_col, compiled.indices)
     for ix in compiled.indices:
         A_w = A_w + coeffs[ix] * h_parts[ix] * eps
-        if ix == ():
+        if bias_fn is not None:
+            A_b = A_b + coeffs[ix] * bias_parts[ix] * eps
+        elif ix == ():
             A_b = A_b + coeffs[ix] * eps
         if prev_fn is not None:
             c_res = c_res + coeffs[ix] * prev_parts[ix]
@@ -150,7 +178,9 @@ def last_layer_lsq(
     rows_b = [-c_res[:, 0] * w_res]
 
     # boundary rows: ε·(h·w + b) + u_prev = u_bc, weighted 1/sqrt(n_g)
-    for z_bd, u_bd in zip(data["x_bd"], data["u_bd"]):
+    # (identically zero under the hard-BC ansatz — skipped)
+    for z_bd, u_bd in zip([] if hard is not None else data["x_bd"],
+                          [] if hard is not None else data["u_bd"]):
         n_g = z_bd.shape[0]
         hb = net.mlp_hidden(stage_params, fm(z_bd, lb, ub), spec)
         Ab = jnp.concatenate([hb * eps, jnp.full((n_g, 1), eps)], axis=1)

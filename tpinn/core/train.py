@@ -724,10 +724,6 @@ def run_training(
                     if not compiled.is_linear and spec.lsq_polish == "auto":
                         log(f"stage {stage_no}: lsq_polish skipped "
                             f"(equation nonlinear in u)")
-                    elif hard_fns is not None:
-                        log(f"stage {stage_no}: lsq_polish skipped "
-                            f"(hard-BC ansatz; last-layer split not "
-                            f"supported yet)")
                     else:
                         from tpinn.core import polish as polish_mod
 
