@@ -63,7 +63,8 @@ def main():
     compiled = pde.compile_pde(problem.equation, problem.coords)
     source_fn = (pde.compile_coord_expr(problem.source, problem.coords)
                  if problem.source else None)
-    fm = net.feature_map_for(tuple(meta["feature_kinds"]))
+    fm = net.feature_map_for(tuple(meta["feature_kinds"]),
+                             pad_to=meta.get("pad_features", 0))
     lb = jnp.asarray(meta["lb"], dtype)
     ub = jnp.asarray(meta["ub"], dtype)
     specs = [net.spec_from_dict(d) for d in meta["chain"]]
