@@ -117,3 +117,33 @@ def test_server_http(ckpt_path):
         assert len(r["f"]) == 1
     finally:
         httpd.shutdown()
+
+
+def test_server_hard_bc_chain(tmp_path):
+    """A hard-BC checkpoint (meta hard_bc/coords/pad_features) serves with
+    machine-exact boundary values regardless of the net's weights."""
+    from tpinn.app.serve import PINNServer
+
+    fm = net.feature_map_for(("minmax", "periodic"), pad_to=3)
+    spec = net.MLPSpec(depth=2, width=12)
+    params = net.init_params(jax.random.PRNGKey(3), spec, fm)
+    path = tmp_path / "params_stage_1.npz"
+    checkpoint.save_pytree(
+        path, params,
+        meta={"stage": 1, "scl": 1.0, "epsil": 1.0,
+              "problem": "annulus_laplace",
+              "chain": [net.spec_to_dict(spec)],
+              "feature_kinds": ["minmax", "periodic"],
+              "lb": [0.1, 0.0], "ub": [1.0, 6.283185307179586],
+              "coords": ["r", "t"], "pad_features": 3,
+              "hard_bc": ["(1 - r)/0.9", "(r - 0.1)*(1 - r)"]},
+    )
+    srv = PINNServer(str(path), "annulus_laplace")
+    u = srv.predict([[0.1, 0.5], [1.0, 2.5], [0.55, 1.0]])
+    assert abs(u[0] - 1.0) < 1e-6
+    assert abs(u[1]) < 1e-6
+    # interior point differs from the lift (the net contributes)
+    assert abs(u[2] - (1 - 0.55) / 0.9) > 1e-6
+    # residual endpoint works through the wrapped predictor
+    f = srv.residual([[0.55, 1.0]])
+    assert np.isfinite(f[0])
