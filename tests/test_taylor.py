@@ -150,3 +150,19 @@ def test_taylor2_padded_features_matches_generic():
             np.asarray(fused[ix]), np.asarray(generic[ix]),
             rtol=2e-4, atol=1e-5, err_msg=str(ix),
         )
+
+
+def test_taylor2_hard_bc_wrapper_matches_generic():
+    """net.wrap_hard_bc exposes fused partials via the product rule; they
+    must match the generic nested-jvp on the wrapped callable."""
+    predictor, params, z, (spec, fm, lb, ub) = _setup()
+    lift = pde.compile_coord_expr("(1 - r)/0.9", ("r", "t"))
+    bubble = pde.compile_coord_expr("(r - 0.1)*(1 - r)", ("r", "t"))
+    wrapped = net.wrap_hard_bc(predictor, lift, bubble)
+    fused = wrapped.tpinn_partials(params, z, IDX)
+    generic = deriv.partials(lambda zz: wrapped(params, zz), z, IDX)
+    for ix in IDX:
+        np.testing.assert_allclose(
+            np.asarray(fused[ix]), np.asarray(generic[ix]),
+            rtol=3e-4, atol=1e-5, err_msg=str(ix),
+        )
