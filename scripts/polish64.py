@@ -1,9 +1,11 @@
 """Post-hoc float64 L-BFGS polish of a saved checkpoint chain (CPU).
 
 Loads a ``params_stage_N.npz`` chain checkpoint, rebuilds the composed
-predictor, and runs double-precision L-BFGS over ALL parameters jointly on
-a deterministic tensor grid — then reports the float64-eval rel-L2 and
-writes the polished checkpoint next to the original.
+predictor, and runs double-precision L-BFGS on a deterministic tensor
+grid — then reports the float64-eval rel-L2 and writes the polished
+checkpoint next to the original.  Note: the rebuilt chain keeps earlier
+stages frozen exactly as in training (net.compose_stages stops gradients
+into the ``prev`` subtree), so the polish moves the FINAL stage only.
 
 Rationale: the training loop runs in f32 on TPU; the final approach to the
 ≤1e-5 rel-L2 gate is a small-step quasi-Newton descent where f32 gradient

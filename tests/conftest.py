@@ -44,10 +44,14 @@ def pytest_collection_modifyitems(config, items):
     unless --runslow (or an explicit -m) selects them, and ``tpu`` tests
     always need an explicit ``-m tpu`` (this suite pins JAX to CPU)."""
     skip_tpu = pytest.mark.skip(reason="needs real TPU; run pytest -m tpu")
-    explicit_m = bool(config.getoption("-m"))
+    m_expr = str(config.getoption("-m") or "")
+    explicit_m = bool(m_expr)
     skip_slow = pytest.mark.skip(reason="slow e2e test; pass --runslow")
     for item in items:
-        if "tpu" in item.keywords and not explicit_m:
+        # tpu tests opt in only via an -m expression that NAMES the tpu
+        # marker (a generic `-m "not slow"` must not un-skip them: this
+        # suite pins JAX to CPU and the kernels would fail there)
+        if "tpu" in item.keywords and "tpu" not in m_expr:
             item.add_marker(skip_tpu)
         elif ("slow" in item.keywords and not explicit_m
               and not config.getoption("--runslow")):

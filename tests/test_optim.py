@@ -162,3 +162,52 @@ def test_adam_plateau_halving_with_noise():
                 sample_fn(jax.random.PRNGKey(9), None), jnp.ones((3, 3)),
                 jnp.array([1.0]), jnp.array(1.0))
     assert float(res.lr) == pytest.approx(0.025)  # halved twice (steps 40, 80)
+
+
+def test_adam_phase_zero_epochs():
+    """An L-BFGS-only stage (adam_epochs=0) must pass through cleanly:
+    empty history, params untouched."""
+    def loss_fn(params, data, lw, ref):
+        loss = jnp.sum((params["w"] - data["target"]) ** 2)
+        return loss / ref, jnp.stack([loss, loss, loss])
+
+    def sample_fn(key, F):
+        return {"target": jnp.full((2,), 5.0) + 0.0 * F[0, 0]}
+
+    cfg = optim.AdamConfig(epochs=0, lr=0.05, tail_max=50)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, None, cfg, info_width=3)
+    params = {"w": jnp.ones(2)}
+    data = sample_fn(jax.random.PRNGKey(0), jnp.ones((3, 3)))
+    res = phase(jax.random.PRNGKey(1), params, data, jnp.ones((3, 3)),
+                jnp.array([1.0]), jnp.array(1.0))
+    assert int(res.n_valid) == 0
+    assert res.history.shape[0] == 0
+    np.testing.assert_allclose(np.asarray(res.params["w"]), 1.0)
+
+
+def test_adam_phase_resume_off_grid():
+    """Resuming from a step that is not on this run's chunk grid issues a
+    catch-up dispatch instead of raising (the saver may have used a
+    different log cadence)."""
+    def loss_fn(params, data, lw, ref):
+        loss = jnp.sum((params["w"] - data["target"]) ** 2)
+        return loss / ref, jnp.stack([loss, loss, loss])
+
+    def sample_fn(key, F):
+        return {"target": jnp.full((2,), 5.0) + 0.0 * F[0, 0]}
+
+    cfg = optim.AdamConfig(epochs=100, lr=0.05, tail_max=0)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, None, cfg, info_width=3)
+    params = {"w": jnp.zeros(2)}
+    data = sample_fn(jax.random.PRNGKey(0), jnp.ones((3, 3)))
+    state0 = phase.make_state0(jax.random.PRNGKey(1), params, data,
+                               jnp.ones((3, 3)), jnp.array(1.0))
+    # pretend a checkpoint saved at step 37 (off every grid)
+    hist0 = jnp.ones((100, 3))
+    res = phase(jax.random.PRNGKey(1), params, data, jnp.ones((3, 3)),
+                jnp.array([1.0]), jnp.array(1.0),
+                init=(37, state0, hist0))
+    assert int(res.n_valid) == 100
+    hist = np.asarray(res.history)
+    assert hist.shape[0] == 100
+    np.testing.assert_allclose(hist[:37], 1.0)  # replayed rows kept

@@ -249,10 +249,10 @@ def make_adam_phase(
             done, state, hist0 = init
             state = jax.tree_util.tree_map(jnp.copy, state)
             done = int(done)
-            if done % chunk and done != config.epochs:
-                raise ValueError(
-                    f"resume step {done} not on the chunk grid ({chunk})"
-                )
+            # `done` need not sit on this run's chunk grid (the saver may
+            # have used a different log cadence): the loop below simply
+            # issues one catch-up dispatch of min(chunk, epochs-done)
+            # steps, at worst one extra compile shape
             if done:
                 chunks.append(jnp.asarray(hist0)[:done])
         while done < config.epochs:
@@ -268,13 +268,15 @@ def make_adam_phase(
             done += n
             if ckpt_cb is not None:
                 ckpt_cb(done, state, jnp.concatenate(chunks, axis=0))
+        if not chunks:  # epochs == 0 (L-BFGS-only stage)
+            chunks = [jnp.zeros((0, info_width), jnp.result_type(ref))]
         hist_scan = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
             else chunks[0]
 
         params, opt_state, data, F, key, ring = state
         lr = opt_state.hyperparams["learning_rate"]
 
-        if config.tail_max == 0:
+        if config.tail_max == 0 or hist_scan.shape[0] == 0:
             return AdamPhaseResult(params, hist_scan, jnp.int32(config.epochs),
                                    F, data, key, lr)
 

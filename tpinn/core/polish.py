@@ -114,8 +114,22 @@ def last_layer_lsq(
             f"last-layer subproblem is not a least-squares problem"
         )
     if dtype == jnp.float64:
+        # x64 is restored on exit: leaking it into the caller's process
+        # would silently retrace every f32 phase (and the app runs
+        # trainings on threads — the flag is global)
+        x64_was = bool(jax.config.jax_enable_x64)
         jax.config.update("jax_enable_x64", True)
+        try:
+            return _last_layer_lsq(predictor, compiled, params, data, lw0,
+                                   source_fn, dtype)
+        finally:
+            jax.config.update("jax_enable_x64", x64_was)
+    return _last_layer_lsq(predictor, compiled, params, data, lw0,
+                           source_fn, dtype)
 
+
+def _last_layer_lsq(predictor, compiled, params, data, lw0, source_fn,
+                    dtype):
     # hard-BC ansatz u = lift + bubble·raw: the subproblem stays linear
     # with bubble-scaled features, bubble as the bias basis function, the
     # lift folded into the affine part, and the BC rows identically zero

@@ -584,6 +584,9 @@ def run_training(
                 fell_back = True
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
+                    # keep checkpointing + mid-stage resume alive on the
+                    # retry — a multi-hour CPU run is exactly where they
+                    # matter most
                     res = phase(
                         jax.device_put(key_adam, cpu),
                         jax.device_put(params, cpu),
@@ -591,6 +594,9 @@ def run_training(
                         jax.device_put(F0, cpu),
                         jax.device_put(stage_lw, cpu),
                         jax.device_put(ref, cpu),
+                        ckpt_cb=ckpt_cb,
+                        init=(None if init_phase is None
+                              else jax.device_put(init_phase, cpu)),
                     )
                 res = res._replace(
                     params=jax.device_put(res.params, jax.devices()[0])
@@ -598,8 +604,10 @@ def run_training(
             params = res.params
             n_adam = int(res.n_valid)
             hist_adam = np.asarray(res.history)[:n_adam]
-            log(f"stage {stage_no}: Adam done ({n_adam} steps, "
-                f"final loss {hist_adam[-1, 0]:.4e}, lr {float(res.lr):.2e})")
+            if n_adam:
+                log(f"stage {stage_no}: Adam done ({n_adam} steps, "
+                    f"final loss {hist_adam[-1, 0]:.4e}, "
+                    f"lr {float(res.lr):.2e})")
 
             # --- pure-XLA L-BFGS (max_iters = epochs/3, as TFP was driven,
             #     software.py:504-508), in `lbfgs_rounds` restarts with a
@@ -817,7 +825,9 @@ def run_training(
     final = stage_results[-1]
     rel_l2 = None
     if exact64 is not None:
-        # u_star/exact64 are the final stage's float64 host evaluation
+        # u_star/exact64 are the final stage's float64 host evaluation;
+        # numpy (not loss_mod.relative_l2/jnp) keeps them f64 — jnp would
+        # silently downcast to f32 whenever x64 is off
         rel_l2 = float(np.linalg.norm(u_star - exact64)
                        / np.linalg.norm(exact64))
         log(f"final rel-L2 vs analytic: {rel_l2:.4e}")
