@@ -713,8 +713,14 @@ def run_training(
                     # return to the training dtype so later stages (frozen
                     # composition, density refresh) keep uniform carry
                     # types; ~1e-7 relative rounding, far below the
-                    # optimization floor the f64 polish just reached
-                    params = cast_to(params, dtype)
+                    # optimization floor the f64 polish just reached.
+                    # Cast on HOST (f64 graphs are rejected by the
+                    # tunneled TPU), then move back to the device.
+                    cpu = jax.devices("cpu")[0]
+                    params = jax.device_put(
+                        cast_to(jax.device_put(params, cpu), dtype),
+                        jax.devices()[0],
+                    )
                 part = np.asarray(hist_lbfgs_full)[: int(n_rows)]
                 hist_parts.append(part)
                 log(f"stage {stage_no}: L-BFGS round {ri + 1}/{rounds} done "
@@ -749,9 +755,13 @@ def run_training(
                             f"{pinfo['pre']:.4e} -> {pinfo['post']:.4e}"
                             f"{'' if pinfo['applied'] else ' (not applied)'}")
                         if pinfo["applied"]:
-                            params = cast_to(
-                                jax.device_put(new_params, jax.devices()[0]),
-                                dtype,
+                            # cast on HOST first: shipping f64 leaves to
+                            # the accelerator and casting there builds an
+                            # f64 graph, which the tunneled TPU rejects
+                            # (observed: INVALID_ARGUMENT after a 55-min
+                            # run's final polish)
+                            params = jax.device_put(
+                                cast_to(new_params, dtype), jax.devices()[0]
                             )
             hist_lbfgs = np.concatenate(hist_parts, axis=0)
         else:
