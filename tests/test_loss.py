@@ -82,3 +82,33 @@ def test_relative_l2():
     assert float(loss_mod.relative_l2(u, u)) == 0.0
     err = loss_mod.relative_l2(u * 1.1, u)
     np.testing.assert_allclose(float(err), 0.1, rtol=1e-5)
+
+
+def test_residual_weight():
+    """residual_weight_fn scales the residual pointwise before the MSE
+    (weighted-residual PINN); data terms are untouched."""
+    from tpinn import problems
+
+    problem = problems.heat_2d()
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    fm = net.feature_map_for(problem.feature_kinds)
+    spec = net.MLPSpec(depth=2, width=8)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm)
+    predictor = net.make_predictor(spec, fm, jnp.zeros(2), jnp.ones(2))
+    w_fn = pde.compile_coord_expr("exp(4*t)", problem.coords)
+
+    z = jax.random.uniform(jax.random.PRNGKey(1), (64, 2))
+    data = {"x_col": z, "x_bd": [], "u_bd": []}
+    lw = jnp.asarray([1.0, 0.0])
+    ref = jnp.asarray(1.0)
+
+    plain = loss_mod.make_loss(predictor, compiled)
+    weighted = loss_mod.make_loss(predictor, compiled,
+                                  residual_weight_fn=w_fn)
+    _, info_p = plain(params, data, lw, ref)
+    _, info_w = weighted(params, data, lw, ref)
+
+    f = compiled.residual(lambda zz: predictor(params, zz), z)
+    expect = jnp.mean((w_fn(z) * f) ** 2)
+    np.testing.assert_allclose(float(info_w[2]), float(expect), rtol=1e-5)
+    assert float(info_w[2]) != pytest.approx(float(info_p[2]))

@@ -41,6 +41,7 @@ def make_loss(
     source_fn: Callable[[Array], Array] | None = None,
     deriv_loss: bool = False,
     engine: str = "auto",
+    residual_weight_fn: Callable[[Array], Array] | None = None,
 ):
     """Build ``loss_fn(params, data, lw, ref) -> (loss_n, loss_info)``.
 
@@ -54,6 +55,9 @@ def make_loss(
         software.py:300-307) but leaves it commented out of the loss
         (:354, :359-361), which is why its UI "df" weight is dead; here it
         is a real, optional term.  Adds one eqn_err column per coordinate.
+    :param residual_weight_fn: optional pointwise weight ``w(z)`` applied
+        to the residual before the MSE (weighted-residual PINN; the
+        deriv_loss gradient term stays unweighted).
     :param engine: "auto" (structure-aware fused Taylor-2 when available),
         "generic" (nested-jvp), "fused" (require the fused pure-JAX path),
         or "kernel" (Pallas forward+backward via custom_vjp,
@@ -107,6 +111,11 @@ def make_loss(
 
         x_col = data["x_col"]
         f = residual_at(params, x_col)
+        if residual_weight_fn is not None:
+            # pointwise residual weighting w(z)·f — e.g. e^{+π²t} on the
+            # heat preset so late-time residuals (where u itself decays to
+            # ~5e-5) count at the solution's own scale
+            f = residual_weight_fn(x_col) * f
         eqn_errs = [ms_error(f)]
         eqn_weights = [1.0]
 

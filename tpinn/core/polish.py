@@ -99,6 +99,7 @@ def last_layer_lsq(
     lw0: float,
     source_fn: Optional[Callable] = None,
     dtype=jnp.float64,
+    residual_weight_fn: Optional[Callable] = None,
 ):
     """Solve the output layer exactly.  Returns ``(new_params, info)``;
     ``new_params`` is in ``dtype`` (cast back as the caller's precision
@@ -121,15 +122,15 @@ def last_layer_lsq(
         jax.config.update("jax_enable_x64", True)
         try:
             return _last_layer_lsq(predictor, compiled, params, data, lw0,
-                                   source_fn, dtype)
+                                   source_fn, dtype, residual_weight_fn)
         finally:
             jax.config.update("jax_enable_x64", x64_was)
     return _last_layer_lsq(predictor, compiled, params, data, lw0,
-                           source_fn, dtype)
+                           source_fn, dtype, residual_weight_fn)
 
 
 def _last_layer_lsq(predictor, compiled, params, data, lw0, source_fn,
-                    dtype):
+                    dtype, residual_weight_fn=None):
     # hard-BC ansatz u = lift + bubble·raw: the subproblem stays linear
     # with bubble-scaled features, bubble as the bias basis function, the
     # lift folded into the affine part, and the BC rows identically zero
@@ -188,6 +189,13 @@ def _last_layer_lsq(predictor, compiled, params, data, lw0, source_fn,
         if prev_fn is not None:
             c_res = c_res + coeffs[ix] * prev_parts[ix]
     w_res = jnp.sqrt(jnp.asarray(lw0, dtype) / n_col)
+    if residual_weight_fn is not None:
+        # pointwise residual weight w(z): scale each residual row so the
+        # solve minimizes the same weighted objective as the training loss
+        wz = residual_weight_fn(z_col).astype(dtype)
+        A_w = A_w * wz
+        A_b = A_b * wz
+        c_res = c_res * wz
     rows_A = [jnp.concatenate([A_w, A_b], axis=1) * w_res]
     rows_b = [-c_res[:, 0] * w_res]
 

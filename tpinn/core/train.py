@@ -63,6 +63,9 @@ class ProblemSpec:
     # hard Dirichlet constraints: coordinate-expression strings
     # (lift, bubble) -> u = lift(z) + bubble(z)·N(z); see net.wrap_hard_bc
     hard_bc: Optional[Tuple[str, str]] = None
+    # pointwise residual weight w(z) (coordinate-expression string):
+    # loss_eqn = MSE(w·residual).  E.g. "exp(4*t)" on decaying problems.
+    residual_weight: Optional[str] = None
 
     def __post_init__(self):
         if self.feature_kinds is None:
@@ -364,6 +367,8 @@ def run_training(
         hard_fns = tuple(
             pde.compile_coord_expr(e, problem.coords) for e in problem.hard_bc
         )
+    rw_fn = (pde.compile_coord_expr(problem.residual_weight, problem.coords)
+             if problem.residual_weight else None)
     feature_map = net.feature_map_for(problem.feature_kinds,
                                       pad_to=spec.pad_features)
     lb = jnp.asarray(problem.lb, dtype)
@@ -462,7 +467,8 @@ def run_training(
         density_fn = make_density_fn(predictor, compiled, grids, source_fn)
         loss_fn = loss_mod.make_loss(predictor, compiled, source_fn,
                                      deriv_loss=spec.deriv_loss,
-                                     engine=spec.engine)
+                                     engine=spec.engine,
+                                     residual_weight_fn=rw_fn)
         if mesh is not None:
             from tpinn import parallel
 
@@ -750,6 +756,7 @@ def run_training(
                                 jax.device_put(params, cpu),
                                 jax.device_put(pdata, cpu),
                                 float(stage_lw[0]), source_fn,
+                                residual_weight_fn=rw_fn,
                             )
                         log(f"stage {stage_no}: lsq polish objective "
                             f"{pinfo['pre']:.4e} -> {pinfo['post']:.4e}"
