@@ -90,6 +90,9 @@ def main():
     p.add_argument("--pad-features", type=int, default=0,
                    help="minimum input-embedding width (TrainSpec."
                         "pad_features; 3 = tunneled-TPU SIGILL workaround)")
+    p.add_argument("--residual-weight", default=None,
+                   help="pointwise residual weight w(z) expression "
+                        "(ProblemSpec.residual_weight)")
     p.add_argument("--hard-bc", action="store_true",
                    help="pose with the preset's hard Dirichlet ansatz "
                         "(problems.HARD_BC)")
@@ -119,6 +122,11 @@ def main():
     problem = problems.get_problem(args.problem)
     if args.hard_bc:
         problem = problems.with_hard_bc(problem)
+    if args.residual_weight:
+        import dataclasses
+
+        problem = dataclasses.replace(problem,
+                                      residual_weight=args.residual_weight)
     tokens = args.stages.split(",")
     stages = tuple(
         parse_stage(tok, args, first=(i == 0)) for i, tok in enumerate(tokens)
