@@ -80,6 +80,23 @@ def _feature_streams_kernel(z, kinds, lb, ub, streams, pad_to=0):
     return [jnp.concatenate(cols, axis=1) for cols in per_stream]
 
 
+def dot_f32(a, b):
+    """~f32-precision matmul from three bf16 MXU passes (hi/lo split).
+
+    Mosaic rejects ``precision=HIGHEST`` dots here (unsupported shape cast
+    in infer-vector-layout), and single-pass bf16 is too coarse for the
+    second-derivative streams (measured 3.3e-3 abs error on real v5e);
+    the classic split a = hi(a) + lo(a) recovers ~2^-21 relative error
+    with plain bf16 dots: a·b ≈ ah·bh + ah·bl + al·bh."""
+    f32 = jnp.float32
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(f32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(f32)).astype(jnp.bfloat16)
+    p = lambda x, y: jnp.dot(x, y, preferred_element_type=f32)
+    return p(ah, bh) + p(ah, bl) + p(al, bh)
+
+
 def _act(name, x):
     if name == "tanh":
         a = jnp.tanh(x)
@@ -105,7 +122,7 @@ def _make_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers,
         for li in range(n_layers):
             w = w_refs[2 * li][:]
             b = w_refs[2 * li + 1][:]
-            X = jnp.dot(H, w, preferred_element_type=z.dtype)
+            X = dot_f32(H, w).astype(z.dtype)
             if li == 0:
                 X = X * spec.scl
             if li == n_layers - 1:

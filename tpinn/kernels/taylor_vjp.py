@@ -77,7 +77,8 @@ def _make_bwd_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers,
         z = z_ref[:]
         B = z.shape[0]
         dtype = z.dtype
-        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=dtype)
+        from tpinn.kernels.mlp_taylor import dot_f32
+        dot = lambda a, b: dot_f32(a, b).astype(dtype)
         row = lambda M, k: M[k * B : (k + 1) * B]
 
         # ---- forward recompute, stacks kept in VMEM
@@ -125,8 +126,16 @@ def _make_bwd_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers,
 
         # ---- reverse sweep
         g = ct_ref[:] * spec.epsil                       # [B, S]
-        # stream-major stacking [S*B, 1] to match the forward layout
-        dX = g.T.reshape(S * B, 1)
+        # stream-major stacking [S*B, 1] to match the forward layout.
+        # NOT g.T.reshape(S*B, 1) (Mosaic: unsupported shape cast) and NOT
+        # a concat of column slices (Mosaic: concat operands carry distinct
+        # lane offsets) — one-hot matmuls materialize each stream column at
+        # lane offset 0, which concatenates fine.  These were the
+        # custom_vjp kernel's compile blockers on real TPUs.
+        eye_s = jnp.eye(S, dtype=g.dtype)
+        pick = lambda k: jnp.dot(g, eye_s[:, k:k + 1],
+                                 preferred_element_type=g.dtype)
+        dX = jnp.concatenate([pick(k) for k in range(S)], axis=0)
 
         li = n_layers - 1
         scl_here = spec.scl if li == 0 else 1.0
