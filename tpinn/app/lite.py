@@ -444,7 +444,15 @@ def main():
     p.add_argument("--port", type=int, default=8050)
     p.add_argument("--data-root", default="data")
     p.add_argument("--no-wipe", action="store_true")
+    # the axon TPU plugin ignores JAX_PLATFORMS=cpu; only the config flag
+    # pins the platform reliably (set BEFORE any device use)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform, e.g. cpu")
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     serve(args.port, args.data_root, wipe=not args.no_wipe)
 
 

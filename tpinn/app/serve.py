@@ -167,7 +167,15 @@ def main():  # pragma: no cover
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--problem", required=True)
     p.add_argument("--port", type=int, default=8060)
+    # the axon TPU plugin ignores JAX_PLATFORMS=cpu; only the config flag
+    # pins the platform reliably (set BEFORE any device use)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform, e.g. cpu")
     args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     server = PINNServer(args.checkpoint, args.problem)
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
     print(f"serving {args.problem} on :{args.port}")

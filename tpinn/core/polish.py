@@ -115,16 +115,15 @@ def last_layer_lsq(
             f"last-layer subproblem is not a least-squares problem"
         )
     if dtype == jnp.float64:
-        # x64 is restored on exit: leaking it into the caller's process
-        # would silently retrace every f32 phase (and the app runs
-        # trainings on threads — the flag is global)
-        x64_was = bool(jax.config.jax_enable_x64)
-        jax.config.update("jax_enable_x64", True)
-        try:
+        # x64 is restored on exit (leaking it into the caller's process
+        # would silently retrace every f32 phase) and the toggle is
+        # serialized against other threads' x64 sections — the app runs
+        # trainings on threads and the flag is global
+        from tpinn.utils.x64 import force_x64
+
+        with force_x64():
             return _last_layer_lsq(predictor, compiled, params, data, lw0,
                                    source_fn, dtype, residual_weight_fn)
-        finally:
-            jax.config.update("jax_enable_x64", x64_was)
     return _last_layer_lsq(predictor, compiled, params, data, lw0,
                            source_fn, dtype, residual_weight_fn)
 
@@ -217,6 +216,14 @@ def _last_layer_lsq(predictor, compiled, params, data, lw0, source_fn,
     b = jnp.concatenate(rows_b, axis=0)
 
     last = stage_params["layers"][-1]
+    # the whole module assumes a scalar u: one output column, one bias.
+    # A wider output layer would silently solve only column 0's problem
+    # (or shape-error later) — reject it up front instead.
+    if last["w"].shape[1] != 1 or last["b"].shape != (1,):
+        raise ValueError(
+            f"last_layer_lsq requires a scalar network output; got output "
+            f"layer w{tuple(last['w'].shape)}, b{tuple(last['b'].shape)}"
+        )
     wb0 = jnp.concatenate([last["w"][:, 0], last["b"]])
     pre = float(jnp.sum(jnp.square(A @ wb0 - b)))
     # column equilibration: coefficient magnitudes (e.g. 1/r² terms) spread

@@ -117,6 +117,19 @@ class StageSpec:
     fourier_features: int = 0
     fourier_scale: float = 1.0
     modified: bool = False
+    # "prev": WARM-START this stage from the previous stage's final params
+    # instead of composing a frozen correction chain (u = u_prev + ε·NN).
+    # The architecture must match the previous stage exactly (same pytree);
+    # scl/epsil default to the previous stage's values.  This is the
+    # curriculum knob: e.g. Helmholtz k-continuation trains k=5 → k=10 →
+    # k=20 on ONE network, each stage initialized at the previous k's
+    # solution (combine with ``equation``below).
+    init_from: Optional[str] = None
+    # Per-stage governing-equation override (same coords/BCs/domain).
+    # Earlier curriculum stages solve an easier PDE (e.g. lower wavenumber);
+    # the FINAL stage must state the problem's true equation (or leave this
+    # None) — the reported metrics evaluate the stage's own equation.
+    equation: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -253,10 +266,10 @@ def eval_stage_f64(predictor, params, X_star, compiled, source_fn, exact):
     rel-L2 1.29e-4 under f32 eval vs 3.17e-5 under f64, same weights).
     One-shot on the test grid; negligible cost.  Returns numpy arrays
     (u, f, exact_or_None)."""
+    from tpinn.utils.x64 import force_x64
+
     cpu = jax.devices("cpu")[0]
-    x64_was = bool(jax.config.jax_enable_x64)
-    jax.config.update("jax_enable_x64", True)
-    try:
+    with force_x64():
         p64 = jax.tree.map(
             lambda a: jax.device_put(jnp.asarray(a, jnp.float64), cpu), params
         )
@@ -274,8 +287,6 @@ def eval_stage_f64(predictor, params, X_star, compiled, source_fn, exact):
 
             f = np.asarray(jax.jit(_f)(p64, z64))
             e = np.asarray(exact(z64)) if exact is not None else None
-    finally:
-        jax.config.update("jax_enable_x64", x64_was)
     return u, f, e
 
 
@@ -398,11 +409,29 @@ def run_training(
     for si, st in enumerate(spec.stages):
         stage_no = si + 1
         log(f"===== stage {stage_no}/{len(spec.stages)} =====")
+        # --- per-stage equation override (curriculum stages solve an easier
+        # PDE on the same domain/BCs; see StageSpec.equation)
+        if st.equation:
+            compiled_st = pde.compile_pde(st.equation, problem.coords)
+            log(f"stage {stage_no}: equation override {st.equation!r}")
+        else:
+            compiled_st = compiled
+        warm = st.init_from == "prev" and si > 0
         # --- derive scales from previous diagnostics (software.py:941-956)
         if si == 0:
             scl = st.scl if st.scl is not None else 1.0
             epsil = st.epsil if st.epsil is not None else 1.0
             stage_lw = lw
+        elif warm:
+            # warm start continues the SAME network: inherit its scales and
+            # the user weights — the diff-derived rebalance targets frozen
+            # correction chains, not continuation
+            scl = st.scl if st.scl is not None else stage_results[-1].scl
+            epsil = (st.epsil if st.epsil is not None
+                     else stage_results[-1].epsil)
+            stage_lw = lw
+            log(f"stage {stage_no}: warm start from stage {si} "
+                f"(scl={scl:.4g} epsil={epsil:.4g})")
         else:
             r_prev, e_prev = prev_diag
             e_prev = e_prev if e_prev is not None else r_prev
@@ -423,8 +452,26 @@ def run_training(
             fourier_scale=st.fourier_scale, modified=st.modified,
         )
         params = net.init_params(keys[4 * si], mspec, feature_map, dtype)
-        chain_specs.append(net.spec_to_dict(mspec))
-        if prev_predictor is None:
+        if warm:
+            # continuation: same architecture, previous stage's weights.
+            # Enforce an exact pytree match up front (a composed previous
+            # stage carries a "prev" subtree and is not warm-startable).
+            t_new = jax.tree_util.tree_structure(params)
+            t_prev = jax.tree_util.tree_structure(prev_params)
+            shapes = lambda t: [jnp.shape(x)
+                                for x in jax.tree_util.tree_leaves(t)]
+            if t_new != t_prev or shapes(params) != shapes(prev_params):
+                raise ValueError(
+                    f"stage {stage_no}: init_from='prev' requires the same "
+                    f"architecture as stage {si} (got {t_new} vs {t_prev})"
+                )
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype), prev_params
+            )
+            chain_specs[-1] = net.spec_to_dict(mspec)
+        else:
+            chain_specs.append(net.spec_to_dict(mspec))
+        if prev_predictor is None or warm:
             raw_predictor = net.make_predictor(mspec, feature_map, lb, ub)
         else:
             # frozen previous-stage params are threaded as ARGUMENTS (the
@@ -464,8 +511,8 @@ def run_training(
             )
             F0 = jnp.ones_like(grids[0])
 
-        density_fn = make_density_fn(predictor, compiled, grids, source_fn)
-        loss_fn = loss_mod.make_loss(predictor, compiled, source_fn,
+        density_fn = make_density_fn(predictor, compiled_st, grids, source_fn)
+        loss_fn = loss_mod.make_loss(predictor, compiled_st, source_fn,
                                      deriv_loss=spec.deriv_loss,
                                      engine=spec.engine,
                                      residual_weight_fn=rw_fn)
@@ -588,6 +635,31 @@ def run_training(
                     f"accelerator ({str(e).splitlines()[0][:100]}); "
                     f"RETRYING ON CPU — expect ~100x slower ***")
                 fell_back = True
+                # the accelerator attempt may have saved mid-stage
+                # checkpoints past init_phase before crashing: resume the
+                # retry from the freshest on-disk chunk instead of
+                # replaying from init, and reset the save watermark to the
+                # retry's actual start step so the multi-hour CPU run —
+                # exactly where checkpointing matters most — keeps saving
+                retry_init = init_phase
+                if adam_ckpt is not None and adam_ckpt.exists():
+                    from tpinn.utils.checkpoint import load_phase_state
+
+                    try:
+                        like = phase.make_state0(
+                            key_adam, params, data0, F0, ref
+                        )
+                        cand = load_phase_state(adam_ckpt, like)
+                        if retry_init is None or cand[0] > retry_init[0]:
+                            retry_init = cand
+                            log(f"stage {stage_no}: CPU retry resumes from "
+                                f"the accelerator attempt's checkpoint at "
+                                f"step {cand[0]}/{st.adam_epochs}")
+                    except Exception as ce:
+                        log(f"stage {stage_no}: accelerator checkpoint "
+                            f"unusable for the retry ({ce}); restarting")
+                if ckpt_cb is not None:
+                    _last_saved[0] = retry_init[0] if retry_init else 0
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
                     # keep checkpointing + mid-stage resume alive on the
@@ -601,8 +673,8 @@ def run_training(
                         jax.device_put(stage_lw, cpu),
                         jax.device_put(ref, cpu),
                         ckpt_cb=ckpt_cb,
-                        init=(None if init_phase is None
-                              else jax.device_put(init_phase, cpu)),
+                        init=(None if retry_init is None
+                              else jax.device_put(retry_init, cpu)),
                     )
                 res = res._replace(
                     params=jax.device_put(res.params, jax.devices()[0])
@@ -741,7 +813,7 @@ def run_training(
                 if spec.lsq_polish not in ("off", "auto", "on"):
                     raise ValueError(f"lsq_polish={spec.lsq_polish!r}")
                 if spec.lsq_polish != "off":
-                    if not compiled.is_linear and spec.lsq_polish == "auto":
+                    if not compiled_st.is_linear and spec.lsq_polish == "auto":
                         log(f"stage {stage_no}: lsq_polish skipped "
                             f"(equation nonlinear in u)")
                     else:
@@ -752,7 +824,7 @@ def run_training(
                         cpu = jax.devices("cpu")[0]
                         with jax.default_device(cpu):
                             new_params, pinfo = polish_mod.last_layer_lsq(
-                                predictor, compiled,
+                                predictor, compiled_st,
                                 jax.device_put(params, cpu),
                                 jax.device_put(pdata, cpu),
                                 float(stage_lw[0]), source_fn,
@@ -779,7 +851,7 @@ def run_training(
         # more precise than the model it measures — see eval_stage_f64)
         frozen = _freeze(predictor, params)
         u_star, f_star, exact64 = eval_stage_f64(
-            predictor, params, X_star, compiled, source_fn, problem.exact
+            predictor, params, X_star, compiled_st, source_fn, problem.exact
         )
 
         if problem.dim == 1:

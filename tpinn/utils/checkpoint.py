@@ -84,6 +84,16 @@ def load_phase_state(path, like_state) -> Tuple[int, Any, np.ndarray]:
         key = f"leaf:{_path_str(p)}"
         if key not in data:
             raise KeyError(f"phase checkpoint {path} missing leaf {key}")
+        if data[key].shape != tuple(np.shape(template)):
+            # e.g. sampler counts / batch sizes changed since the save: a
+            # structurally-valid but wrong-shaped carry would otherwise
+            # surface as an opaque XLA shape error inside the dispatched
+            # chunk, outside the caller's restart-the-phase try/except
+            raise ValueError(
+                f"phase checkpoint {path} leaf {key} has shape "
+                f"{data[key].shape}, expected {tuple(np.shape(template))} "
+                f"(sampler/batch config changed since the save?)"
+            )
         leaves.append(jax.numpy.asarray(data[key], dtype=template.dtype))
     state = jax.tree_util.tree_unflatten(treedef, leaves)
     return int(meta["done"]), state, data["__hist__"]
