@@ -31,6 +31,8 @@ def parse_stage(token: str, args, first: bool):
     ff, fs, modified = 0, 1.0, False
     act_hidden = "tanh"
     scl_override = None
+    init_from = None
+    stage_lr = None
     for p in parts[2:]:
         if p.startswith("ff"):
             ff = int(p[2:])
@@ -38,6 +40,10 @@ def parse_stage(token: str, args, first: bool):
             fs = float(p[2:])
         elif p.startswith("scl"):
             scl_override = float(p[3:])  # cap stage-k input scaling
+        elif p.startswith("lr"):
+            stage_lr = float(p[2:])      # per-stage Adam restart lr
+        elif p == "warm":
+            init_from = "prev"           # continuation, not composition
         elif p == "mod":
             modified = True
         elif p == "siren":
@@ -52,6 +58,7 @@ def parse_stage(token: str, args, first: bool):
         lbfgs_grid=args.lbfgs_grid,
         lbfgs_rounds=args.lbfgs_rounds,
         fourier_features=ff, fourier_scale=fs, modified=modified,
+        init_from=init_from, lr=stage_lr,
     )
 
 
@@ -101,6 +108,11 @@ def main():
     p.add_argument("--save-artifacts", action="store_true",
                    help="write the 11-npz artifact set + per-stage param "
                         "checkpoints to out/acc/<tag>_artifacts/")
+    p.add_argument("--resume", action="store_true",
+                   help="run_training(resume=True): skip stages whose "
+                        "params_stage_N.npz already exists in the artifact "
+                        "dir (seed a warm run from a previous tag by "
+                        "copying its stage checkpoint in)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
 
@@ -154,7 +166,8 @@ def main():
                if args.save_artifacts else None)
     t0 = time.perf_counter()
     res = train.run_training(problem, spec, print_log=not args.quiet,
-                             log_fn=stage_log, output_dir=out_dir)
+                             log_fn=stage_log, output_dir=out_dir,
+                             resume=args.resume)
     wall = time.perf_counter() - t0
 
     rec = {

@@ -125,6 +125,10 @@ class StageSpec:
     # k=20 on ONE network, each stage initialized at the previous k's
     # solution (combine with ``equation``below).
     init_from: Optional[str] = None
+    # per-stage Adam learning rate (None → TrainSpec.lr).  Warm-started
+    # continuation stages usually want a lower restart lr than the cold
+    # stage-1 default — restarting a converged net at 1e-3 can undo it.
+    lr: Optional[float] = None
     # Per-stage governing-equation override (same coords/BCs/domain).
     # Earlier curriculum stages solve an easier PDE (e.g. lower wavenumber);
     # the FINAL stage must state the problem's true equation (or leave this
@@ -571,7 +575,8 @@ def run_training(
 
             # --- Adam phase (single XLA computation)
             adam_cfg = optim.AdamConfig(
-                epochs=st.adam_epochs, lr=spec.lr,
+                epochs=st.adam_epochs,
+                lr=(st.lr if st.lr is not None else spec.lr),
                 resample_every=spec.resample_every,
                 density_every=spec.density_every,
                 plateau_every=spec.plateau_every,
