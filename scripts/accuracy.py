@@ -88,6 +88,10 @@ def main():
     p.add_argument("--lbfgs-grid", type=int, default=0)
     p.add_argument("--lbfgs-rounds", type=int, default=1)
     p.add_argument("--lbfgs-dtype", default=None)
+    p.add_argument("--lbfgs-history", default="iters",
+                   choices=("iters", "evals"),
+                   help="loss-history cadence: per accepted iterate or per "
+                        "function evaluation (the reference's cadence)")
     p.add_argument("--lbfgs-device", default=None)
     p.add_argument("--scl1", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=1234)
@@ -152,6 +156,7 @@ def main():
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lsq_polish=args.lsq_polish, engine=args.engine,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
+        lbfgs_history=args.lbfgs_history,
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )
 

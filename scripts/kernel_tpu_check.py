@@ -17,6 +17,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -125,7 +126,7 @@ def main():
     def make_step(engine):
         lf = loss_mod.make_loss(predictor, compiled, engine=engine)
 
-        @jax.jit
+        @partial(jax.jit, static_argnums=2)
         def run(params, opt_state, n):
             def body(carry, _):
                 params, opt_state = carry

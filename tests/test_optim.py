@@ -57,6 +57,33 @@ def test_lbfgs_history_records_iterates():
     assert hist[n, 0] < 1e-6
 
 
+def test_lbfgs_history_evals_cadence():
+    """history="evals" records one row per FUNCTION EVALUATION (the
+    reference's jax.debug.callback cadence, software.py:485-488): at least
+    as many rows as accepted iterates, same converged optimum, and the
+    rows include line-search probe values."""
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1 - x[:-1]) ** 2)
+
+    x0 = jnp.array([-1.2, 1.0], dtype=jnp.float32)
+    res_i = optim.lbfgs_minimize(
+        _info(rosen), x0, optim.LBFGSConfig(max_iters=100, tolerance=1e-4))
+    res_e = optim.lbfgs_minimize(
+        _info(rosen), x0,
+        optim.LBFGSConfig(max_iters=100, tolerance=1e-4, history="evals"))
+    # identical optimization trajectory — only the recording differs
+    np.testing.assert_allclose(np.asarray(res_e.x), np.asarray(res_i.x),
+                               rtol=1e-6)
+    assert int(res_e.n_iters) == int(res_i.n_iters)
+    rows_i, rows_e = int(res_i.n_rows), int(res_e.n_rows)
+    assert rows_e >= rows_i  # every accepted iterate was also an eval
+    assert rows_e > int(res_e.n_iters)  # line searches cost extra evals
+    hist = np.asarray(res_e.history)
+    assert np.all(np.isfinite(hist[:rows_e]))
+    assert hist[0, 0] == pytest.approx(float(rosen(x0)), rel=1e-5)
+
+
 def test_lbfgs_over_pytree():
     params = {"a": jnp.array([1.0, 2.0]), "b": jnp.array(0.5)}
 

@@ -322,6 +322,27 @@ class LBFGSConfig:
     # Iterations per device dispatch (the tunneled runtime kills any single
     # dispatch at 60s wall — see AdamConfig.max_chunk).  0 = unchunked.
     chunk_iters: int = 100
+    # History cadence: "iters" records one loss_info row per ACCEPTED
+    # iterate (compact; round-1/2 behavior).  "evals" records one row per
+    # FUNCTION EVALUATION — line-search probes included — which is the
+    # reference's cadence (it harvests rows via jax.debug.callback inside
+    # the jitted value-and-grad, software.py:485-488), so UI loss curves
+    # show the same number of points per L-BFGS phase.
+    history: str = "iters"
+
+    def __post_init__(self):
+        if self.history not in ("iters", "evals"):
+            raise ValueError(f"history must be 'iters'|'evals', got "
+                             f"{self.history!r}")
+
+    @property
+    def history_rows(self) -> int:
+        """Preallocated history buffer length (excludes nothing; row 0 is
+        the initial loss)."""
+        if self.history == "evals":
+            return 1 + self.max_iters * (self.max_bracket
+                                         + self.max_linesearch)
+        return 1 + self.max_iters
 
 
 class LBFGSResult(NamedTuple):
@@ -364,13 +385,18 @@ def _two_loop(g, S, Y, rho, count, head, gamma, memory):
     return -r
 
 
-def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
+def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig,
+                     hist=None, rows=None):
     """Strong-Wolfe line search as a SINGLE state machine while_loop.
 
     Bracketing and zoom (Nocedal & Wright alg. 3.5/3.6, with safeguarded
     quadratic interpolation in the zoom stage) share one function-eval site
     per iteration — the loss/grad graph is instantiated once, keeping the
-    compiled artifact small.  Returns (alpha, f_new, g_new, info_new, ok).
+    compiled artifact small.  Returns (alpha, f_new, g_new, info_new, ok)
+    — plus (hist, rows) when per-evaluation history is threaded in
+    (LBFGSConfig.history == "evals"): every function evaluation appends its
+    loss_info row, matching the reference's debug-callback cadence
+    (software.py:485-488).
 
     mode: 0 = bracketing, 1 = zooming, 2 = accepted, 3 = failed.
     """
@@ -395,6 +421,12 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
     def body(s):
         a = s["a_cur"]
         f, g, info = vg(x + a * d)
+        extra = {}
+        if hist is not None:
+            extra["hist"] = jax.lax.dynamic_update_slice(
+                s["hist"], info[None, :], (s["rows"], jnp.int32(0))
+            )
+            extra["rows"] = s["rows"] + 1
         df = jnp.dot(g, d)
         armijo = f <= f0 + c1 * a * dphi0
         curv = jnp.abs(df) <= -c2 * dphi0
@@ -465,6 +497,7 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
             "f_acc": jnp.where(accept, f, s["f_acc"]),
             "g_acc": jnp.where(accept, g, s["g_acc"]),
             "info_acc": jnp.where(accept, info, s["info_acc"]),
+            **extra,
         }
 
     s0 = {
@@ -484,8 +517,14 @@ def wolfe_linesearch(vg, x, f0, g0, info0, d, alpha0, cfg: LBFGSConfig):
         "g_acc": g0,
         "info_acc": info0,
     }
+    if hist is not None:
+        s0["hist"] = hist
+        s0["rows"] = rows
     s = jax.lax.while_loop(cond, body, s0)
     ok = s["mode"] == 2
+    if hist is not None:
+        return (s["a_acc"], s["f_acc"], s["g_acc"], s["info_acc"], ok,
+                s["hist"], s["rows"])
     return s["a_acc"], s["f_acc"], s["g_acc"], s["info_acc"], ok
 
 
@@ -494,7 +533,7 @@ def _lbfgs_init_state(value_and_grad_fn, x0, config: LBFGSConfig):
     n = x0.shape[0]
     f0, g0, info0 = jax.jit(value_and_grad_fn)(x0)
     dtype = f0.dtype
-    hist = jnp.zeros((config.max_iters + 1, info0.shape[0]), info0.dtype)
+    hist = jnp.zeros((config.history_rows, info0.shape[0]), info0.dtype)
     hist = hist.at[0].set(info0)
     return {
         "x": x0,
@@ -536,9 +575,17 @@ def _lbfgs_advance(value_and_grad_fn, state, it_end, config: LBFGSConfig):
         alpha0 = jnp.where(
             s["count"] == 0, jnp.minimum(1.0, 1.0 / jnp.maximum(g_norm1, 1e-12)), 1.0
         ).astype(dtype)
-        alpha, f_new, g_new, info_new, ok = wolfe_linesearch(
-            value_and_grad_fn, s["x"], s["f"], s["g"], s["info"], d, alpha0, config
-        )
+        if config.history == "evals":
+            (alpha, f_new, g_new, info_new, ok, hist_ls,
+             rows_ls) = wolfe_linesearch(
+                value_and_grad_fn, s["x"], s["f"], s["g"], s["info"], d,
+                alpha0, config, hist=s["hist"], rows=s["rows"],
+            )
+        else:
+            alpha, f_new, g_new, info_new, ok = wolfe_linesearch(
+                value_and_grad_fn, s["x"], s["f"], s["g"], s["info"], d,
+                alpha0, config,
+            )
 
         x_new = s["x"] + alpha * d
         sk = x_new - s["x"]
@@ -556,16 +603,21 @@ def _lbfgs_advance(value_and_grad_fn, state, it_end, config: LBFGSConfig):
         gamma = jnp.where(store, sy / jnp.maximum(jnp.dot(yk, yk), 1e-30), s["gamma"])
 
         it = s["it"] + 1
-        # history rows are indexed by ACCEPTED iterates so a failing final
-        # line search never leaves a zero row at the end
-        hist = jnp.where(
-            ok,
-            jax.lax.dynamic_update_slice(
-                s["hist"], info_new[None, :], (s["rows"], jnp.int32(0))
-            ),
-            s["hist"],
-        )
-        rows = jnp.where(ok, s["rows"] + 1, s["rows"])
+        if config.history == "evals":
+            # per-evaluation rows were already written inside the line
+            # search (including rejected probes — the reference's cadence)
+            hist, rows = hist_ls, rows_ls
+        else:
+            # history rows are indexed by ACCEPTED iterates so a failing
+            # final line search never leaves a zero row at the end
+            hist = jnp.where(
+                ok,
+                jax.lax.dynamic_update_slice(
+                    s["hist"], info_new[None, :], (s["rows"], jnp.int32(0))
+                ),
+                s["hist"],
+            )
+            rows = jnp.where(ok, s["rows"] + 1, s["rows"])
         converged = jnp.max(jnp.abs(g_new)) <= config.tolerance
         return {
             "x": jnp.where(ok, x_new, s["x"]),

@@ -166,6 +166,11 @@ class TrainSpec:
     # (make_loss(deriv_loss=True) — the reference's dormant df weight)
     deriv_loss: bool = False
     lbfgs_dtype: Optional[str] = None
+    # L-BFGS loss-history cadence: "iters" = one row per accepted iterate
+    # (compact), "evals" = one row per function evaluation — the
+    # reference's cadence (software.py:485-488), so the UI loss curves
+    # show the same number of points per L-BFGS phase as the reference.
+    lbfgs_history: str = "iters"
     # "cpu" pins the L-BFGS phase to the host CPU (f64 there is native
     # rather than TPU-emulated; also sidesteps accelerator-compiler bugs).
     lbfgs_device: Optional[str] = None
@@ -700,6 +705,7 @@ def run_training(
             lbfgs_cfg = optim.LBFGSConfig(
                 max_iters=max(1, int(st.lbfgs_epochs / 3 / rounds)),
                 tolerance=1e-10,
+                history=spec.lbfgs_history,
             )
 
             lbfgs_dtype = dtype

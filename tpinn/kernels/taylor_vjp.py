@@ -181,6 +181,25 @@ def _make_bwd_kernel(spec: MLPSpec, kinds, lb, ub, streams, n_layers,
     return kernel
 
 
+def _bwd_block_limit(n_layers: int, width: int, S: int,
+                     budget_bytes: int = 8 * 1024 * 1024) -> int:
+    """Largest safe point-block for the backward kernel (multiple of 128).
+
+    The reverse sweep holds the full forward stacks in VMEM (Hs + Xs:
+    2·n_layers stream-stacked [S·B, W] f32 buffers) plus ~8 comparable
+    temporaries (dX/dXraw/dH/dX_parts and the bf16 hi/lo matmul splits).
+    Round-3 compile bisection on the real v5e (scripts/probe_bwd.py):
+    the FULL kernel at width 60 × depth 6 is rejected at block 512 —
+    "Internal: AOT", i.e. VMEM exhaustion with the diagnostic eaten by
+    the tunnel — but compiles and runs at 256; every reduced body level
+    (fwd/stacks/pick/lastgrad) passes at 512.  An 8 MB budget (half of
+    VMEM, leaving room for Mosaic's own buffers) reproduces exactly that
+    boundary: w60·d6 → 256, w32·d2 → ≥512."""
+    bytes_per_point = (2 * n_layers + 8) * S * max(width, 1) * 4
+    blk = (budget_bytes // bytes_per_point) // 128 * 128
+    return max(128, int(blk))
+
+
 def taylor2_backward_pallas(
     layers: Sequence[dict],
     z: Array,
@@ -200,6 +219,7 @@ def taylor2_backward_pallas(
     ub = tuple(float(v) for v in _np.asarray(ub))
     n_layers = len(layers)
     S = len(streams)
+    block = min(block, _bwd_block_limit(n_layers, spec.width, S))
     N, d = z.shape
     n_blocks = pl.cdiv(N, block)
     N_pad = n_blocks * block
