@@ -239,3 +239,48 @@ def test_adam_kernel_partial_block():
     # every coordinate identical update
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p2)[0], rtol=1e-6)
     assert float(p2[0]) < 0
+
+
+def test_kernel_hard_bc_product_rule_grads():
+    """engine='kernel' under a hard-BC wrapper: the Pallas kernel runs on
+    the raw net and net.hard_bc_partials recombines u = lift + bubble·N by
+    the product rule (tpinn/core/loss.py kernel branch) — loss value and
+    parameter gradients must match autodiff through the wrapped
+    predictor."""
+    from tpinn.core.net import hard_bc_partials, wrap_hard_bc
+    from tpinn.kernels.taylor_vjp import make_kernel_partials
+
+    predictor, params, z, spec, fm, lb, ub = _setup()
+    lift = lambda zz: 1.0 - (zz[:, 0:1] - 0.1) / 0.9
+    bubble = lambda zz: (zz[:, 0:1] - 0.1) * (1.0 - zz[:, 0:1])
+    hard = wrap_hard_bc(predictor, lift, bubble)
+    compiled = pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt",
+                               coords=("r", "t"))
+
+    need = set(compiled.indices) | {()}
+    for ix in compiled.indices:
+        for i in ix:
+            need.add((i,))
+    raw_kernel = make_kernel_partials(
+        spec, fm, lb, ub, tuple(sorted(need, key=lambda t: (len(t), t))),
+        block=128, interpret=True,
+    )
+    kp = hard_bc_partials(raw_kernel, lift, bubble)
+
+    def loss_kernel(p):
+        f = compiled.evaluate(z, kp(p, z, compiled.indices))
+        return jnp.mean(f ** 2)
+
+    def loss_ref(p):
+        f = compiled.residual(lambda zz: hard(p, zz), z)
+        return jnp.mean(f ** 2)
+
+    np.testing.assert_allclose(float(loss_kernel(params)),
+                               float(loss_ref(params)), rtol=1e-4)
+    g_kernel = jax.grad(loss_kernel)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    for gk, gr in zip(g_kernel["layers"], g_ref["layers"]):
+        np.testing.assert_allclose(np.asarray(gk["w"]), np.asarray(gr["w"]),
+                                   rtol=2e-3, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(gk["b"]), np.asarray(gr["b"]),
+                                   rtol=2e-3, atol=3e-5)

@@ -253,3 +253,23 @@ def test_warm_start_rejects_mismatched_architecture():
     )
     with pytest.raises(ValueError, match="init_from"):
         train.run_training(problem, spec)
+
+
+def test_kernel_engine_trains_with_stage_fallback(tmp_path):
+    """engine='kernel' end-to-end: stage 1 (plain dense) runs through the
+    Pallas custom_vjp tier (interpreter on the CPU backend), stage 2
+    (composed chain) falls back to 'auto' for that stage only, with a log
+    line — training completes and converges as usual."""
+    problem = problems.annulus_laplace()
+    spec = dataclasses.replace(
+        _quick_spec(adam=60, lbfgs=25, stages=2),
+        n_col=128, n_band=32, n_adaptive=32, n_bd=16,
+        testing_size=(24, 24), engine="kernel",
+        density_every=1000, plateau_every=1000, tail_max=10,
+    )
+    lines = []
+    res = train.run_training(problem, spec, output_dir=str(tmp_path),
+                             log_fn=lines.append)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    fallback = [l for l in lines if "engine='kernel' unavailable" in l]
+    assert len(fallback) == 1 and "stage 2" in fallback[0]

@@ -73,16 +73,40 @@ def make_loss(
             # JVP rule; the residual-gradient term needs forward-mode in z
             raise ValueError("engine='kernel' cannot serve deriv_loss; "
                              "use 'auto' or 'generic'")
-        if not hasattr(predictor, "tpinn_spec"):
-            raise ValueError("engine='kernel' needs a plain dense predictor "
-                             "(make_predictor); composed/fourier/modified "
-                             "families use 'auto'")
         from tpinn.kernels.taylor_vjp import make_kernel_partials
 
-        kernel_partials = make_kernel_partials(
-            predictor.tpinn_spec, predictor.tpinn_feature_map,
-            *predictor.tpinn_bounds, pde.indices,
-        )
+        if hasattr(predictor, "tpinn_spec"):
+            kernel_partials = make_kernel_partials(
+                predictor.tpinn_spec, predictor.tpinn_feature_map,
+                *predictor.tpinn_bounds, pde.indices,
+            )
+        elif hasattr(predictor, "tpinn_hard") and hasattr(
+            getattr(predictor, "tpinn_raw", None), "tpinn_spec"
+        ):
+            # hard-BC ansatz u = lift + bubble·N: run the Pallas kernel on
+            # the raw net N and recombine by the product rule (same path
+            # the fused engine takes, net.hard_bc_partials).  The kernel
+            # must be built over the product rule's full index superset
+            # (value + component firsts), which plan_streams-built kernels
+            # always return.
+            from tpinn.core.net import hard_bc_partials
+
+            raw = predictor.tpinn_raw
+            need = set(pde.indices) | {()}
+            for ix in pde.indices:
+                for i in ix:
+                    need.add((i,))
+            raw_kernel = make_kernel_partials(
+                raw.tpinn_spec, raw.tpinn_feature_map,
+                *raw.tpinn_bounds, tuple(sorted(need, key=lambda t: (len(t), t))),
+            )
+            lift_fn, bubble_fn = predictor.tpinn_hard
+            kernel_partials = hard_bc_partials(raw_kernel, lift_fn, bubble_fn)
+        else:
+            raise ValueError("engine='kernel' needs a plain dense predictor "
+                             "(make_predictor) or a hard-BC wrapper around "
+                             "one; composed/fourier/modified families use "
+                             "'auto'")
 
     def residual_at(params, z):
         if engine == "generic":

@@ -294,6 +294,48 @@ def compose_params(stage_params, prev_params) -> dict:
     return {"stage": stage_params, "prev": prev_params}
 
 
+def hard_bc_partials(raw_partials, lift_fn, bubble_fn):
+    """Partials of ``u = lift + bubble·v`` from the RAW net's partials
+    source (fused Taylor-2 or the Pallas kernel) by the product rule:
+
+        u_i  = l_i + b_i·v + b·v_i
+        u_ij = l_ij + b_ij·v + b_i·v_j + b_j·v_i + b·v_ij
+
+    lift/bubble derivatives come from the generic jvp engine (cheap scalar
+    expressions); ``raw_partials(params, z, need)`` supplies v and its
+    derivatives and may return a SUPERSET of ``need`` (the Pallas kernel
+    always returns its full stream set)."""
+
+    def tpinn_partials(params, z, indices):
+        from tpinn.core import deriv  # late import (deriv imports net)
+
+        need = set()
+        for ix in indices:
+            need.add(ix)
+            if len(ix) == 2:
+                need.add((ix[0],))
+                need.add((ix[1],))
+        need.add(())
+        need = sorted(need, key=lambda t: (len(t), t))
+        v = raw_partials(params, z, need)
+        l = deriv.partials(lift_fn, z, need)
+        b = deriv.partials(bubble_fn, z, need)
+        out = {}
+        for ix in indices:
+            if ix == ():
+                out[ix] = l[()] + b[()] * v[()]
+            elif len(ix) == 1:
+                out[ix] = (l[ix] + b[ix] * v[()] + b[()] * v[ix])
+            else:
+                i, j = ix
+                out[ix] = (l[ix] + b[ix] * v[()]
+                           + b[(i,)] * v[(j,)] + b[(j,)] * v[(i,)]
+                           + b[()] * v[ix])
+        return out
+
+    return tpinn_partials
+
+
 def wrap_hard_bc(raw_predictor, lift_fn, bubble_fn):
     """Hard boundary-condition ansatz ``u(z) = lift(z) + bubble(z)·N(z)``.
 
@@ -313,39 +355,9 @@ def wrap_hard_bc(raw_predictor, lift_fn, bubble_fn):
 
     raw_partials = getattr(raw_predictor, "tpinn_partials", None)
     if raw_partials is not None:
-        # fused-engine support: u = l + b·v, so by the product rule
-        #   u_i  = l_i + b_i·v + b·v_i
-        #   u_ij = l_ij + b_ij·v + b_i·v_j + b_j·v_i + b·v_ij
-        # lift/bubble derivatives come from the generic jvp engine (cheap
-        # scalar expressions), v-derivatives from the raw fused engine.
-        def tpinn_partials(params, z, indices):
-            from tpinn.core import deriv  # late import (deriv imports net)
-
-            need = set()
-            for ix in indices:
-                need.add(ix)
-                if len(ix) == 2:
-                    need.add((ix[0],))
-                    need.add((ix[1],))
-            need.add(())
-            need = sorted(need, key=lambda t: (len(t), t))
-            v = raw_partials(params, z, need)
-            l = deriv.partials(lift_fn, z, need)
-            b = deriv.partials(bubble_fn, z, need)
-            out = {}
-            for ix in indices:
-                if ix == ():
-                    out[ix] = l[()] + b[()] * v[()]
-                elif len(ix) == 1:
-                    out[ix] = (l[ix] + b[ix] * v[()] + b[()] * v[ix])
-                else:
-                    i, j = ix
-                    out[ix] = (l[ix] + b[ix] * v[()]
-                               + b[(i,)] * v[(j,)] + b[(j,)] * v[(i,)]
-                               + b[()] * v[ix])
-            return out
-
-        f_hard.tpinn_partials = tpinn_partials
+        f_hard.tpinn_partials = hard_bc_partials(
+            raw_partials, lift_fn, bubble_fn
+        )
 
     f_hard.tpinn_raw = raw_predictor
     f_hard.tpinn_hard = (lift_fn, bubble_fn)

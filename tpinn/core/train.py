@@ -521,10 +521,23 @@ def run_training(
             F0 = jnp.ones_like(grids[0])
 
         density_fn = make_density_fn(predictor, compiled_st, grids, source_fn)
-        loss_fn = loss_mod.make_loss(predictor, compiled_st, source_fn,
-                                     deriv_loss=spec.deriv_loss,
-                                     engine=spec.engine,
-                                     residual_weight_fn=rw_fn)
+        try:
+            loss_fn = loss_mod.make_loss(predictor, compiled_st, source_fn,
+                                         deriv_loss=spec.deriv_loss,
+                                         engine=spec.engine,
+                                         residual_weight_fn=rw_fn)
+        except ValueError as e:
+            if spec.engine != "kernel":
+                raise
+            # Pallas tier only serves plain-dense (optionally hard-BC
+            # wrapped) predictors; composed stage-2+ chains and deriv_loss
+            # stages fall back to the autodiff engine for that stage only.
+            log(f"[stage {stage_no}] engine='kernel' unavailable for this "
+                f"stage ({e}); using 'auto'")
+            loss_fn = loss_mod.make_loss(predictor, compiled_st, source_fn,
+                                         deriv_loss=spec.deriv_loss,
+                                         engine="auto",
+                                         residual_weight_fn=rw_fn)
         if mesh is not None:
             from tpinn import parallel
 

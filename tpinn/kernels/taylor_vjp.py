@@ -272,7 +272,7 @@ def make_kernel_partials(
     ub,
     indices,
     block: int = DEFAULT_BLOCK,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Build a differentiable ``partials(params, z, indices) -> dict`` whose
     forward AND backward are Pallas kernels (custom_vjp pair).
@@ -280,9 +280,14 @@ def make_kernel_partials(
     Matches the tpinn_partials interface of tpinn.core.taylor, so it can be
     swapped in as the loss engine (tpinn.core.loss make_loss(engine=
     "kernel")).  Plain dense family, scalar output, order ≤ 2 only.
+
+    ``interpret=None`` auto-selects: compiled Mosaic on TPU, interpreter on
+    the CPU backend (tests, gated CPU fallbacks) where Mosaic can't lower.
     """
     if spec.fourier_features or spec.modified:
         raise ValueError("pallas kernel supports the plain dense family")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     streams = plan_streams(indices)
 
     @jax.custom_vjp
