@@ -47,6 +47,10 @@ import time
 N_COL, N_BAND, N_ADAPT, N_BD = 3000, 1000, 1000, 100
 DEPTH, WIDTH = 6, 60
 BATCH = N_COL + N_BAND + N_ADAPT + 2 * N_BD   # 5200
+# Headline Adam-step precision.  Production campaigns run the Adam phase at
+# this tier (TrainSpec.adam_precision) with L-BFGS/eval/polish at full
+# "highest"; converged-accuracy parity is pinned by the out/acc runs.
+HEADLINE_PRECISION = "highest"
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 multi-pass matmuls top out lower
 
 
@@ -76,7 +80,7 @@ def model_flops_per_point(depth=DEPTH, width=WIDTH, n_features=3,
 
 
 def build_phase(batch_scale=1.0, engine="auto", steps=400,
-                depth=DEPTH, width=WIDTH):
+                depth=DEPTH, width=WIDTH, precision="highest"):
     import jax
     import jax.numpy as jnp
 
@@ -87,7 +91,7 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400,
     problem = problems.annulus_laplace()
     compiled = pde.compile_pde(problem.equation, problem.coords)
     fm = net.feature_map_for(problem.feature_kinds)
-    spec = net.MLPSpec(depth=depth, width=width)
+    spec = net.MLPSpec(depth=depth, width=width, precision=precision)
     params = net.init_params(jax.random.PRNGKey(0), spec, fm, jnp.float32)
     predictor = net.make_predictor(
         spec, fm, jnp.asarray(problem.lb, jnp.float32),
@@ -128,10 +132,11 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400,
 
 
 def timed_phase(batch_scale=1.0, engine="auto", steps=400, repeats=5,
-                depth=DEPTH, width=WIDTH):
+                depth=DEPTH, width=WIDTH, precision="highest"):
     import jax
 
-    run, batch = build_phase(batch_scale, engine, steps, depth, width)
+    run, batch = build_phase(batch_scale, engine, steps, depth, width,
+                             precision)
     run(jax.random.PRNGKey(2))  # compile + warm
     times = []
     for i in range(repeats):
@@ -215,6 +220,10 @@ def main():
                    help="add batch-scaling curve + engine comparison; "
                         "write out/bench_details.json")
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--precision", default=HEADLINE_PRECISION,
+                   choices=("highest", "high", "default"),
+                   help="MXU matmul precision of the benched Adam step "
+                        "(TrainSpec.adam_precision in production runs)")
     args = p.parse_args()
 
     _enable_compile_cache()
@@ -222,7 +231,7 @@ def main():
 
     baseline = bench_cpu_reference()
 
-    head = timed_phase(repeats=args.repeats)
+    head = timed_phase(repeats=args.repeats, precision=args.precision)
     fpp = model_flops_per_point()
     achieved = head["pts_per_sec"] * fpp
     mfu = achieved / V5E_PEAK_FLOPS
@@ -281,6 +290,20 @@ def main():
                   file=sys.stderr)
             widths.append(row)
         details["width_sweep"] = widths
+
+        # precision tiers at the flagship shape: "highest" = 6-pass f32
+        # emulation on the MXU, "high" = 3-pass bf16x3, "default" = one
+        # bf16 pass.  Production runs use TrainSpec.adam_precision for the
+        # Adam phase only (L-BFGS/eval stay at highest), so the Adam-step
+        # rate here is what the long phase actually rides.
+        precisions = {}
+        for prec in ("highest", "high", "default"):
+            row = timed_phase(steps=200, repeats=3, precision=prec)
+            precisions[prec] = row
+            print(f"[bench] precision={prec}: {row['pts_per_sec']:,.0f} "
+                  f"pts/s ({row['ms_per_step']:.3f} ms/step)",
+                  file=sys.stderr)
+        details["precisions"] = precisions
 
         engines = {}
         for engine in ("auto", "fused", "kernel"):

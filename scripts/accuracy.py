@@ -107,6 +107,20 @@ def main():
     p.add_argument("--hard-bc", action="store_true",
                    help="pose with the preset's hard Dirichlet ansatz "
                         "(problems.HARD_BC)")
+    p.add_argument("--adam-precision", default=None,
+                   choices=("default", "high"),
+                   help="reduced MXU matmul precision for the Adam phase "
+                        "(TrainSpec.adam_precision); L-BFGS/eval/polish "
+                        "stay full-precision")
+    p.add_argument("--adam-engine", default=None,
+                   choices=("auto", "generic", "fused", "kernel"),
+                   help="derivative engine for the Adam phase only "
+                        "(TrainSpec.adam_engine)")
+    p.add_argument("--stage-eq", action="append", default=None,
+                   metavar="N:EXPR",
+                   help="per-stage governing-equation override (1-based "
+                        "stage index; StageSpec.equation) — curriculum "
+                        "stages, e.g. Helmholtz k-continuation")
     p.add_argument("--tag", required=True)
     p.add_argument("--out-dir", default="out/acc")
     p.add_argument("--save-artifacts", action="store_true",
@@ -148,6 +162,10 @@ def main():
         parse_stage(tok, args, first=(i == 0)) for i, tok in enumerate(tokens)
     )
     stages = (replace(stages[0], scl=args.scl1),) + stages[1:]
+    for item in args.stage_eq or ():
+        idx, expr = item.split(":", 1)
+        i = int(idx) - 1
+        stages = stages[:i] + (replace(stages[i], equation=expr),) + stages[i + 1:]
     spec = TrainSpec(
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
@@ -157,6 +175,8 @@ def main():
         lsq_polish=args.lsq_polish, engine=args.engine,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         lbfgs_history=args.lbfgs_history,
+        adam_precision=args.adam_precision,
+        adam_engine=args.adam_engine,
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )
 

@@ -192,6 +192,21 @@ class TrainSpec:
     # different XLA graph shape — also the workaround for tunneled-TPU
     # compiler crashes observed on some fused graphs (Fourier features).
     engine: str = "auto"
+    # MXU matmul precision for the ADAM PHASE only ("default" = one bf16
+    # pass, "high" = 3-pass bf16x3 ≈ f32, None = the network's own
+    # precision, full fp32 "highest").  The Adam phase explores above the
+    # f32 noise floor anyway; L-BFGS, the f64 eval, and the LSQ polish
+    # always run at the network's full precision, so converged accuracy is
+    # set by the high-precision phases while the long Adam phase rides the
+    # MXU at its native bf16 rate (v5e: "highest" costs ~6 MXU passes per
+    # matmul, "default" one).
+    adam_precision: Optional[str] = None
+    # Derivative engine for the ADAM PHASE only (None = same as ``engine``).
+    # E.g. adam_engine="kernel" rides the Pallas custom_vjp tier through
+    # the long Adam phase while L-BFGS line searches keep exact autodiff
+    # gradients (the kernel's ~1e-4 gradient deviation is harmless to Adam
+    # but stalls quasi-Newton convergence near the optimum).
+    adam_engine: Optional[str] = None
     # Minimum input-embedding width (net.FeatureMap.pad_to): pads the
     # feature columns with duplicates of column 0.  The model class is
     # unchanged; 3 works around a tunneled-TPU XLA fusion-pass SIGILL on
@@ -408,6 +423,7 @@ def run_training(
     lw = jnp.asarray(spec.lw, dtype)
 
     prev_predictor: Optional[Callable] = None
+    prev_predictor_lo: Optional[Callable] = None
     prev_params = None
     prev_diag: Optional[Tuple[float, Optional[float]]] = None
     stage_results: List[StageResult] = []
@@ -494,6 +510,19 @@ def run_training(
         # inside the bubble, keeping the boundary machine-exact)
         predictor = (net.wrap_hard_bc(raw_predictor, *hard_fns)
                      if hard_fns is not None else raw_predictor)
+        # parallel REDUCED-PRECISION chain for the Adam phase (same params
+        # pytree, different MXU pass count — see TrainSpec.adam_precision)
+        raw_predictor_lo = predictor_lo = None
+        if spec.adam_precision:
+            mspec_lo = replace(mspec, precision=spec.adam_precision)
+            if prev_predictor_lo is None or warm:
+                raw_predictor_lo = net.make_predictor(
+                    mspec_lo, feature_map, lb, ub)
+            else:
+                raw_predictor_lo = net.compose_stages(
+                    prev_predictor_lo, mspec_lo, feature_map, lb, ub)
+            predictor_lo = (net.wrap_hard_bc(raw_predictor_lo, *hard_fns)
+                            if hard_fns is not None else raw_predictor_lo)
 
         # --- sampler (counts scaled per stage, software.py:959)
         sc = st.sample_scale
@@ -521,27 +550,43 @@ def run_training(
             F0 = jnp.ones_like(grids[0])
 
         density_fn = make_density_fn(predictor, compiled_st, grids, source_fn)
-        try:
-            loss_fn = loss_mod.make_loss(predictor, compiled_st, source_fn,
-                                         deriv_loss=spec.deriv_loss,
-                                         engine=spec.engine,
-                                         residual_weight_fn=rw_fn)
-        except ValueError as e:
-            if spec.engine != "kernel":
-                raise
-            # Pallas tier only serves plain-dense (optionally hard-BC
-            # wrapped) predictors; composed stage-2+ chains and deriv_loss
-            # stages fall back to the autodiff engine for that stage only.
-            log(f"[stage {stage_no}] engine='kernel' unavailable for this "
-                f"stage ({e}); using 'auto'")
-            loss_fn = loss_mod.make_loss(predictor, compiled_st, source_fn,
-                                         deriv_loss=spec.deriv_loss,
-                                         engine="auto",
-                                         residual_weight_fn=rw_fn)
+
+        def build_loss(pred, engine):
+            try:
+                return loss_mod.make_loss(pred, compiled_st, source_fn,
+                                          deriv_loss=spec.deriv_loss,
+                                          engine=engine,
+                                          residual_weight_fn=rw_fn)
+            except ValueError as e:
+                if engine != "kernel":
+                    raise
+                # Pallas tier only serves plain-dense (optionally hard-BC
+                # wrapped) predictors; composed stage-2+ chains and
+                # deriv_loss stages fall back to the autodiff engine for
+                # that stage only.
+                log(f"[stage {stage_no}] engine='kernel' unavailable for "
+                    f"this stage ({e}); using 'auto'")
+                return loss_mod.make_loss(pred, compiled_st, source_fn,
+                                          deriv_loss=spec.deriv_loss,
+                                          engine="auto",
+                                          residual_weight_fn=rw_fn)
+
+        loss_fn = build_loss(predictor, spec.engine)
+        # Adam-phase loss: reduced-precision chain and/or different engine
+        # (same params pytree); L-BFGS/eval/polish stay on loss_fn
+        adam_engine = spec.adam_engine or spec.engine
+        if predictor_lo is not None or adam_engine != spec.engine:
+            loss_fn_adam = build_loss(predictor_lo or predictor, adam_engine)
+        else:
+            loss_fn_adam = loss_fn
         if mesh is not None:
             from tpinn import parallel
 
+            shared = loss_fn_adam is loss_fn
             loss_fn = parallel.make_parallel_loss(loss_fn, mesh)
+            loss_fn_adam = (loss_fn if shared
+                            else parallel.make_parallel_loss(loss_fn_adam,
+                                                             mesh))
             sample_fn = parallel.sharded_sampler(sample_fn, mesh)
 
         key_adam = keys[4 * si + 1]
@@ -608,7 +653,8 @@ def run_training(
                     log(format_step_line(int(step), np.asarray(loss_info)))
 
             phase = optim.make_adam_phase(
-                loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
+                loss_fn_adam, sample_fn, density_fn, adam_cfg, info_width,
+                adam_log
             )
 
             # --- mid-stage checkpoint/resume (chunk granularity)
@@ -932,6 +978,7 @@ def run_training(
             )
         )
         prev_predictor = raw_predictor  # composition extends the raw chain
+        prev_predictor_lo = raw_predictor_lo
         prev_params = params
         prev_diag = (r_rms, e_rms)
 
