@@ -33,6 +33,7 @@ def parse_stage(token: str, args, first: bool):
     scl_override = None
     init_from = None
     stage_lr = None
+    stage_lw0 = None
     for p in parts[2:]:
         if p.startswith("ff"):
             ff = int(p[2:])
@@ -42,6 +43,8 @@ def parse_stage(token: str, args, first: bool):
             scl_override = float(p[3:])  # cap stage-k input scaling
         elif p.startswith("lr"):
             stage_lr = float(p[2:])      # per-stage Adam restart lr
+        elif p.startswith("lw"):
+            stage_lw0 = float(p[2:])     # per-stage equation weight
         elif p == "warm":
             init_from = "prev"           # continuation, not composition
         elif p == "mod":
@@ -59,6 +62,7 @@ def parse_stage(token: str, args, first: bool):
         lbfgs_rounds=args.lbfgs_rounds,
         fourier_features=ff, fourier_scale=fs, modified=modified,
         init_from=init_from, lr=stage_lr,
+        lw=(None if stage_lw0 is None else (stage_lw0, args.lw1)),
     )
 
 

@@ -297,3 +297,21 @@ def test_adam_precision_and_engine_phase_split(tmp_path):
     assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
     assert len(res.stages) == 2
     assert any("engine='kernel' unavailable" in l for l in lines)
+
+
+def test_per_stage_lw_override():
+    """StageSpec.lw overrides the diff-derived stage weights; the log line
+    records it and training completes."""
+    problem = problems.poisson_1d()
+    st1 = StageSpec(depth=2, width=24, scl=1.0, epsil=1.0,
+                    adam_epochs=120, lbfgs_epochs=40)
+    st2 = StageSpec(depth=2, width=24, act_first="sin",
+                    adam_epochs=120, lbfgs_epochs=40, lw=(0.3, 0.0))
+    spec = dataclasses.replace(
+        _quick_spec(adam=120, lbfgs=40), testing_size=(32,),
+        stages=(st1, st2),
+    )
+    lines = []
+    res = train.run_training(problem, spec, log_fn=lines.append)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    assert any("lw override (0.3, 0.0)" in l for l in lines)

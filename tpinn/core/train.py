@@ -134,6 +134,14 @@ class StageSpec:
     # the FINAL stage must state the problem's true equation (or leave this
     # None) — the reported metrics evaluate the stage's own equation.
     equation: Optional[str] = None
+    # Per-stage (f, df) equation-weight override (None → TrainSpec.lw, or
+    # the diff-derived rebalance for composed stages).  The loss-weight
+    # schedule knob: e.g. near-resonant Helmholtz starts at lw0≈1/k⁴ so
+    # the residual term doesn't swamp the boundary data, then a warm
+    # continuation stage RAISES lw0 — at convergence the boundary rows are
+    # what pin the near-resonant eigenmodes that the residual can't see
+    # (loss 1e-6 at rel-L2 1.3e-3 measured on hP).
+    lw: Optional[Tuple[float, float]] = None
 
 
 @dataclass(frozen=True)
@@ -468,6 +476,11 @@ def run_training(
             )
             log(f"stage {stage_no}: scl={scl:.4g} epsil={epsil:.4g} "
                 f"diff={diff:.4g}")
+        if st.lw is not None:
+            # explicit per-stage weight schedule overrides both the user
+            # default and the diff-derived rebalance
+            stage_lw = jnp.asarray(st.lw, dtype)
+            log(f"stage {stage_no}: lw override {tuple(st.lw)}")
 
         mspec = net.MLPSpec(
             depth=st.depth, width=st.width, act_first=st.act_first,
@@ -1172,6 +1185,10 @@ def run_pinn_training(
         testing_size=(int(testing_size["x"]), int(testing_size["y"])),
         lw=(float(equation_weight["f"]), float(equation_weight["df"])),
         dtype=dtype,
+        # reference cadence: one loss row per L-BFGS function EVALUATION
+        # (software.py:485-488), so the UI loss curves carry the same
+        # number of points per quasi-Newton phase as the reference's
+        lbfgs_history="evals",
     ).with_default_stages(
         depth=depth, width=width,
         adam=int(epochs["adam"]), lbfgs=int(epochs["lbfgs"]),
