@@ -125,6 +125,10 @@ def main():
                    help="per-stage governing-equation override (1-based "
                         "stage index; StageSpec.equation) — curriculum "
                         "stages, e.g. Helmholtz k-continuation")
+    p.add_argument("--auto-scl-cap", default="auto",
+                   help="Nyquist guard on derived stage-2+ scl "
+                        "(TrainSpec.auto_scl_cap): 'auto' = grid/4, "
+                        "'none' = uncapped (reference behavior), or a float")
     p.add_argument("--tag", required=True)
     p.add_argument("--out-dir", default="out/acc")
     p.add_argument("--save-artifacts", action="store_true",
@@ -181,6 +185,10 @@ def main():
         lbfgs_history=args.lbfgs_history,
         adam_precision=args.adam_precision,
         adam_engine=args.adam_engine,
+        auto_scl_cap=(
+            "auto" if args.auto_scl_cap == "auto"
+            else None if args.auto_scl_cap == "none"
+            else float(args.auto_scl_cap)),
         testing_size=(256,) if problem.dim == 1 else (111, 111),
     )
 

@@ -315,3 +315,31 @@ def test_per_stage_lw_override():
     res = train.run_training(problem, spec, log_fn=lines.append)
     assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
     assert any("lw override (0.3, 0.0)" in l for l in lines)
+
+
+def test_auto_scl_nyquist_cap():
+    """The derived stage-2 scl is clamped by TrainSpec.auto_scl_cap; an
+    explicit StageSpec.scl is never touched (software.py:943-946 derives
+    uncapped — the cap is a documented, measured deviation)."""
+    problem = problems.poisson_1d()
+    st1 = StageSpec(depth=2, width=24, scl=1.0, epsil=1.0,
+                    adam_epochs=120, lbfgs_epochs=40)
+    st2 = StageSpec(depth=2, width=24, act_first="sin",
+                    adam_epochs=120, lbfgs_epochs=40)
+    spec = dataclasses.replace(
+        _quick_spec(adam=120, lbfgs=40), testing_size=(32,),
+        stages=(st1, st2), auto_scl_cap=1e-6,
+    )
+    lines = []
+    res = train.run_training(problem, spec, log_fn=lines.append)
+    assert res.stages[1].scl == pytest.approx(1e-6)
+    assert any("Nyquist guard" in l for l in lines)
+
+    # explicit scl bypasses the cap entirely
+    st2x = dataclasses.replace(st2, scl=50.0)
+    lines2 = []
+    res2 = train.run_training(
+        problem, dataclasses.replace(spec, stages=(st1, st2x)),
+        log_fn=lines2.append)
+    assert res2.stages[1].scl == pytest.approx(50.0)
+    assert not any("Nyquist guard" in l for l in lines2)

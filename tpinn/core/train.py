@@ -29,7 +29,7 @@ from __future__ import annotations
 import sys
 from dataclasses import dataclass, field, replace
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -226,6 +226,18 @@ class TrainSpec:
     # killed run resumes the Adam phase at the last saved chunk with
     # identical numerics (L-BFGS is not mid-resumable — it restarts).
     checkpoint_every: int = 0
+    # Nyquist guard on the DERIVED stage-≥2 frequency scale scl₂ = r/e
+    # (software.py:943-946 derives it uncapped when e ≤ 50; an explicit
+    # StageSpec.scl is never touched).  The sampler's density grid resolves
+    # ~grid/2 cycles per axis, so a correction net whose first-layer sines
+    # oscillate faster than ~grid/4 can zero the SAMPLED residual while
+    # aliasing between collocation points — measured: heat_2d stage 2
+    # auto-derived scl=106 and contributed nothing (e_rms 1.04e-5→1.09e-5,
+    # error map low-frequency); annulus stage 3 auto-scl 118 pinned rel-L2
+    # at ~1e-4 until capped at 30 (REPORT.md eE study).  "auto" → grid/4;
+    # a float sets the cap directly; None reproduces the reference's
+    # uncapped derivation.
+    auto_scl_cap: Union[str, float, None] = "auto"
 
     def with_default_stages(self, depth=6, width=50, adam=1000, lbfgs=1000):
         """Reference-like two stages: user net then 6×50 sin correction
@@ -469,7 +481,17 @@ def run_training(
             r_prev, e_prev = prev_diag
             e_prev = e_prev if e_prev is not None else r_prev
             diff = r_prev / max(e_prev, 1e-30)
-            scl = st.scl if st.scl is not None else (30.0 if e_prev > 50 else diff)
+            if st.scl is not None:
+                scl = st.scl
+            else:
+                scl = 30.0 if e_prev > 50 else diff
+                cap = (spec.grid / 4.0 if spec.auto_scl_cap == "auto"
+                       else spec.auto_scl_cap)
+                if cap is not None and scl > cap:
+                    log(f"stage {stage_no}: derived scl {scl:.4g} exceeds the "
+                        f"sampler Nyquist guard — capped to {cap:.4g} "
+                        f"(grid {spec.grid}/axis)")
+                    scl = float(cap)
             epsil = st.epsil if st.epsil is not None else e_prev
             stage_lw = jnp.asarray(
                 [spec.lw[0] / diff, spec.lw[1] / diff**2], dtype
