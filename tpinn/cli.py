@@ -21,10 +21,15 @@ import sys
 def cmd_problems(args):
     from tpinn import problems
 
+    from tpinn.problems.recipes import RECIPES
+
     for name in sorted(problems.PRESETS):
         p = problems.PRESETS[name]()
+        rec = RECIPES.get(name)
+        gate = (f"   recipe: {rec.expected_rel_l2:.1e} rel-L2 "
+                f"(run {rec.run_tag})" if rec else "")
         print(f"{name:18s} {p.equation}   coords={p.coords} "
-              f"domain={list(zip(p.lb, p.ub))}")
+              f"domain={list(zip(p.lb, p.ub))}{gate}")
 
 
 def cmd_train(args):
@@ -35,6 +40,19 @@ def cmd_train(args):
     from tpinn import problems
     from tpinn.core import train
     from tpinn.core.train import StageSpec, TrainSpec
+
+    if args.recipe:
+        # best-known gate-meeting config (tpinn/problems/recipes.py);
+        # the explicit sizing flags are ignored in this mode
+        problem, spec = problems.get_recipe(args.problem)
+        res = train.run_training(problem, spec, output_dir=args.out,
+                                 print_log=True, resume=args.resume)
+        print(json.dumps({
+            "problem": args.problem, "recipe": True,
+            "rel_l2": res.rel_l2,
+            "steps": int(res.history.shape[0]),
+        }))
+        return
 
     problem = problems.get_problem(args.problem)
     stages = [StageSpec(depth=args.depth, width=args.width, scl=1.0,
@@ -99,6 +117,9 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--f64-polish", action="store_true")
     t.add_argument("--platform", default=None)
+    t.add_argument("--recipe", action="store_true",
+                   help="use the preset's best-known gate-meeting config "
+                        "(tpinn.problems.get_recipe); sizing flags ignored")
 
     a = sub.add_parser("app", help="launch the web calculator")
     a.add_argument("--port", type=int, default=8050)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from tpinn.core import net, pde, sample
 from tpinn.core.train import ProblemSpec
 
-__all__ = ["PRESETS", "get_problem", "annulus_laplace", "poisson_1d",
+__all__ = ["PRESETS", "get_problem", "get_recipe", "RECIPES",
+           "annulus_laplace", "poisson_1d",
            "burgers_1d", "poisson_2d", "heat_2d", "helmholtz_2d"]
 
 
@@ -214,3 +215,19 @@ def with_hard_bc(problem: ProblemSpec) -> ProblemSpec:
     import dataclasses
 
     return dataclasses.replace(problem, hard_bc=HARD_BC[problem.name])
+
+
+def get_recipe(name: str):
+    """(ProblemSpec, TrainSpec) of the preset's best-known gate-meeting
+    configuration (tpinn.problems.recipes)."""
+    from tpinn.problems.recipes import get_recipe as _get
+
+    return _get(name)
+
+
+def __getattr__(name):  # lazy: recipes imports core.train
+    if name == "RECIPES":
+        from tpinn.problems.recipes import RECIPES
+
+        return RECIPES
+    raise AttributeError(name)

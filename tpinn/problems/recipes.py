@@ -1,0 +1,148 @@
+"""Best-known training recipes per preset — the gate-meeting configs.
+
+Each recipe reproduces a committed accuracy run (``out/acc/<tag>.json``;
+REPORT.md has the result tables), translated from the campaign runner's
+CLI flags (scripts/accuracy.py) into the typed spec.  The reference keeps
+its only "recipe" in the ``__main__`` demo block
+(/root/reference/pinn_app/software.py:1142-1201); here every preset ships
+with the configuration that met its BASELINE gate on a TPU v5e, so
+
+    problem, spec = problems.get_recipe("annulus_laplace")
+    result = train.run_training(problem, spec)
+
+is the one-liner from PDE name to gate-class accuracy.  The CLI exposes
+this as ``python -m tpinn train --problem <name> --recipe``.
+
+Recipe notes (measured, see REPORT.md):
+- Linear PDEs (all but burgers' advection term) use the variable-
+  projection loop: deterministic-grid L-BFGS rounds alternating with an
+  exact f64 last-layer solve (``lsq_polish="auto"``).
+- The annulus flagship rides one-pass bf16 MXU matmuls through the Adam
+  phase (``adam_precision="default"``) — converged accuracy is set by the
+  exact-precision L-BFGS/polish phases (eM: 1.8e-6, the build's best).
+- Helmholtz k=20 trains soft-BC (hard-BC measured 0.43-1.1 at high k)
+  with lw0 ≈ 1/k⁴ and a k-continuation curriculum: stage 1 solves k=10,
+  stage 2 warm-starts the same net at the true k.
+- ``pad_features=3`` works around a tunneled-TPU fusion-pass SIGILL on
+  2-wide first-layer contractions (scripts/probe_sigill.py bisection); it
+  is harmless elsewhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+from tpinn.core.train import StageSpec, TrainSpec
+
+
+@dataclass(frozen=True)
+class Recipe:
+    """A preset's best-known training configuration."""
+
+    spec: TrainSpec
+    hard_bc: bool                 # pose with problems.HARD_BC[name]
+    expected_rel_l2: float        # measured on TPU v5e (out/acc/<tag>.json)
+    run_tag: str                  # committed evidence record
+
+
+def _two_stage(depth, width, adam, lbfgs, *, n_col, n_band, n_adaptive,
+               n_bd, lw0, lbfgs_grid, lbfgs_rounds=1, stage2_scl=None,
+               mult=1.5, sample_scale2=2.0):
+    """The workhorse shape: tanh stage 1 + sin correction stage 2 with
+    auto-derived (Nyquist-capped) scales, VP polish on both."""
+    s1 = StageSpec(depth=depth, width=width, act_first="tanh",
+                   scl=1.0, epsil=1.0, adam_epochs=adam, lbfgs_epochs=lbfgs,
+                   lbfgs_grid=lbfgs_grid, lbfgs_rounds=lbfgs_rounds)
+    s2 = StageSpec(depth=depth, width=width, act_first="sin",
+                   scl=stage2_scl, epsil=None,
+                   adam_epochs=int(adam * mult),
+                   lbfgs_epochs=int(lbfgs * mult),
+                   sample_scale=sample_scale2,
+                   lbfgs_grid=lbfgs_grid, lbfgs_rounds=lbfgs_rounds)
+    return TrainSpec(
+        n_col=n_col, n_band=n_band, n_adaptive=n_adaptive, n_bd=n_bd,
+        lw=(lw0, 0.0), stages=(s1, s2), lsq_polish="auto", pad_features=3,
+    )
+
+
+RECIPES = {
+    # eM: 1.85e-6 rel-L2, 6x80 single-stage VP flagship, bf16 Adam
+    "annulus_laplace": Recipe(
+        spec=TrainSpec(
+            n_col=30000, n_band=5000, n_adaptive=10000, n_bd=500,
+            lw=(0.05, 0.0),
+            stages=(StageSpec(depth=6, width=80, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=8000, lbfgs_epochs=8000,
+                              lbfgs_grid=450, lbfgs_rounds=3),),
+            lsq_polish="auto", adam_precision="default",
+        ),
+        hard_bc=True, expected_rel_l2=1.8e-6, run_tag="eM"),
+    # p1K: 3.55e-8 rel-L2
+    "poisson_1d": Recipe(
+        spec=TrainSpec(
+            n_col=8000, n_band=0, n_adaptive=1000, n_bd=200,
+            lw=(1.0, 0.0),
+            stages=(StageSpec(depth=5, width=50, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=6000, lbfgs_epochs=5000,
+                              lbfgs_grid=2000, lbfgs_rounds=2),),
+            lsq_polish="auto", pad_features=3, testing_size=(256,),
+        ),
+        hard_bc=True, expected_rel_l2=3.6e-8, run_tag="p1K"),
+    # bJ: 8.70e-6 rel-L2 (nonlinear — the polish auto-skips)
+    "burgers_1d": Recipe(
+        spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
+                        n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300),
+        hard_bc=True, expected_rel_l2=8.7e-6, run_tag="bJ"),
+    # pJ: 8.13e-7 rel-L2
+    "poisson_2d": Recipe(
+        spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
+                        n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300),
+        hard_bc=True, expected_rel_l2=8.1e-7, run_tag="pJ"),
+    # tP: 6.57e-5 rel-L2 (stage-2 scl Nyquist-capped at 8)
+    "heat_2d": Recipe(
+        spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
+                        n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300,
+                        stage2_scl=8.0),
+        hard_bc=True, expected_rel_l2=6.6e-5, run_tag="tP"),
+    # hQ: 4.21e-4 rel-L2 — soft BC, Fourier features, k-continuation
+    "helmholtz_2d": Recipe(
+        spec=TrainSpec(
+            n_col=40000, n_band=4000, n_adaptive=16000, n_bd=4000,
+            lw=(1e-4, 0.0),
+            stages=(
+                StageSpec(depth=4, width=128, act_first="tanh",
+                          scl=1.0, epsil=1.0,
+                          adam_epochs=40000, lbfgs_epochs=12000,
+                          lbfgs_grid=283, fourier_features=64,
+                          fourier_scale=10.0,
+                          equation="u_xx + u_yy + 100*u "
+                                   "+ 100*sin(10*x)*sin(10*y)"),
+                StageSpec(depth=4, width=128, act_first="tanh",
+                          adam_epochs=60000, lbfgs_epochs=18000,
+                          sample_scale=2.0, lbfgs_grid=283,
+                          fourier_features=64, fourier_scale=10.0,
+                          init_from="prev"),
+            ),
+            pad_features=3,
+        ),
+        hard_bc=False, expected_rel_l2=4.2e-4, run_tag="hQ"),
+}
+
+
+def get_recipe(name: str):
+    """(ProblemSpec, TrainSpec) of the preset's best-known configuration."""
+    from tpinn import problems
+
+    try:
+        rec = RECIPES[name]
+    except KeyError:
+        raise KeyError(
+            f"no recipe for {name!r}; available: {sorted(RECIPES)}"
+        ) from None
+    problem = problems.get_problem(name)
+    if rec.hard_bc:
+        problem = problems.with_hard_bc(problem)
+    return problem, rec.spec
