@@ -216,6 +216,12 @@ def test_preset_payloads():
     assert " = " in p["equation"]               # source folded via lhs=rhs
     p = preset_payload("poisson_1d")
     assert p["domain"]["y_min"] == 0.0          # 1-D lifted to (x, t)
+    # recipe autofill: reference's swapped network_size keys (units in
+    # "depth"), counts/epochs from the gate-meeting stage-1 spec
+    t = p["train"]
+    assert t["depth"] == 50 and t["width"] == 5
+    assert t["adam"] == 6000 and t["n_col"] == 8000
+    assert "recipe" in t["note"].lower() or "--recipe" in t["note"]
 
 
 @pytest.mark.slow

@@ -58,6 +58,7 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
   <select id="preset" style="width:99%;padding:5px" onchange="loadPreset()">
    <option value="">— custom —</option>
   </select>
+  <div id="recipenote" class="legend"></div>
  </div>
  <div class="card"><h3>Equation (residual = 0, or lhs = rhs)</h3>
   <input id="equation" value="u_rr + 1/r*u_r + 1/r**2*u_tt" spellcheck="false">
@@ -157,6 +158,11 @@ async function loadPreset(){
    ["bd_y"+j+"_min", bc.y_min], ["bd_y"+j+"_max", bc.y_max],
    ["bd_u"+j, bc.u]]));
  });
+ if(p.train){
+  for(const k of ["n_col","n_bd","n_add","depth","width","adam","lbfgs","wf","wdf"])
+   document.getElementById(k).value = p.train[k];
+  document.getElementById("recipenote").textContent = p.train.note;
+ } else document.getElementById("recipenote").textContent = "";
  eqInput.dispatchEvent(new Event("input"));
 }
 

@@ -40,8 +40,35 @@ def preset_payload(name: str) -> Dict:
         "scl": 1.0,
         "epsil": 1.0,
         "has_oracle": p.exact is not None,
+        "train": _recipe_train_fields(name),
     }
     return payload
+
+
+def _recipe_train_fields(name: str) -> Dict | None:
+    """UI training-field autofill from the preset's best-known recipe
+    (tpinn/problems/recipes.py).  Only the fields the reference form
+    schema can carry; the full recipe (VP rounds, polish, Fourier
+    features, curricula) is the --recipe CLI path."""
+    from tpinn.problems.recipes import RECIPES
+
+    rec = RECIPES.get(name)
+    if rec is None:
+        return None
+    s1 = rec.spec.stages[0]
+    return {
+        "n_col": rec.spec.n_col, "n_bd": rec.spec.n_bd,
+        "n_add": rec.spec.n_adaptive,
+        # the UI keeps the reference's swapped network_size keys
+        # (software.py:667-668 + :193 — "depth" is units/layer):
+        "depth": s1.width, "width": s1.depth,
+        "adam": s1.adam_epochs, "lbfgs": s1.lbfgs_epochs,
+        "wf": rec.spec.lw[0], "wdf": rec.spec.lw[1],
+        "note": (f"Recipe prefilled (run {rec.run_tag}, "
+                 f"{rec.expected_rel_l2:.1e} rel-L2 on TPU). Full recipe "
+                 f"incl. VP polish/curriculum: python -m tpinn train "
+                 f"--problem {name} --recipe"),
+    }
 
 
 def preset_names() -> List[str]:
