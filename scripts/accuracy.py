@@ -88,6 +88,9 @@ def main():
                    help="exact f64 last-layer LSQ solve after each stage "
                         "(linear PDEs; tpinn.core.polish)")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr-min", type=float, default=0.0,
+                   help="plateau-halving floor (TrainSpec.lr_min); keeps "
+                        "long Adam budgets from decaying lr to nothing")
     p.add_argument("--sample-scale2", type=float, default=2.0)
     p.add_argument("--lbfgs-grid", type=int, default=0)
     p.add_argument("--lbfgs-rounds", type=int, default=1)
@@ -178,7 +181,7 @@ def main():
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.lw0, args.lw1), stages=stages,
         pad_features=args.pad_features,
-        seed=args.seed, lr=args.lr, grid=args.grid,
+        seed=args.seed, lr=args.lr, lr_min=args.lr_min, grid=args.grid,
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lsq_polish=args.lsq_polish, engine=args.engine,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,

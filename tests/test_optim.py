@@ -191,6 +191,27 @@ def test_adam_plateau_halving_with_noise():
     assert float(res.lr) == pytest.approx(0.025)  # halved twice (steps 40, 80)
 
 
+def test_adam_plateau_lr_floor():
+    """lr_min clamps the plateau halving (0.0 = reference's unbounded)."""
+    def loss_fn(params, data, lw, ref):
+        loss = 1.0 + 0.01 * data["noise"] + 0.0 * jnp.sum(params["w"])
+        info = jnp.stack([loss, loss, loss])
+        return loss / ref, info
+
+    def sample_fn(key, F):
+        return {"noise": jax.random.normal(key)}
+
+    cfg = optim.AdamConfig(epochs=80, lr=0.1, resample_every=1,
+                           density_every=1000, plateau_every=40, tail_max=0,
+                           lr_min=0.04)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, None, cfg, info_width=3)
+    res = phase(jax.random.PRNGKey(0), {"w": jnp.zeros(2)},
+                sample_fn(jax.random.PRNGKey(9), None), jnp.ones((3, 3)),
+                jnp.array([1.0]), jnp.array(1.0))
+    # would be 0.025 after two halvings; the floor catches the second
+    assert float(res.lr) == pytest.approx(0.04)
+
+
 def test_adam_phase_zero_epochs():
     """An L-BFGS-only stage (adam_epochs=0) must pass through cleanly:
     empty history, params untouched."""

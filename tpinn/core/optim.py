@@ -57,6 +57,11 @@ class AdamConfig:
     density_every: int = 2000
     plateau_every: int = 4000
     plateau_ratio: float = 0.4
+    # Floor for the plateau-halving schedule (0.0 = reference behavior,
+    # software.py:430-441, which halves without bound).  Long budgets
+    # otherwise decay lr into oblivion: a 204k-step helmholtz run reached
+    # lr 1.9e-9 — frozen for its last ~100k steps (REPORT.md hP/hR).
+    lr_min: float = 0.0
     tail_max: int = 4000
     log_every: int = 100
     b1: float = 0.9
@@ -160,6 +165,7 @@ def make_adam_phase(
                 new_lr = jnp.where(
                     mm12 / stdl2 < config.plateau_ratio, lr * 0.5, lr
                 )
+                new_lr = jnp.maximum(new_lr, config.lr_min)
                 hp = dict(opt_state.hyperparams)
                 hp["learning_rate"] = new_lr
                 return opt_state._replace(hyperparams=hp)

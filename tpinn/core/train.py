@@ -163,6 +163,9 @@ class TrainSpec:
     resample_every: int = 100
     density_every: int = 2000
     plateau_every: int = 4000
+    # plateau-halving lr floor (0.0 = reference's unbounded halving; see
+    # optim.AdamConfig.lr_min — long budgets freeze without one)
+    lr_min: float = 0.0
     tail_max: int = 4000
     # Optional dtype override for the L-BFGS phase only.  "float64" runs the
     # quasi-Newton polish in double precision (enables jax x64 globally):
@@ -678,6 +681,7 @@ def run_training(
                 resample_every=spec.resample_every,
                 density_every=spec.density_every,
                 plateau_every=spec.plateau_every,
+                lr_min=spec.lr_min,
                 tail_max=spec.tail_max, log_every=spec.log_every,
             )
             adam_log = None
