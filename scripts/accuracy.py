@@ -128,6 +128,10 @@ def main():
                    help="per-stage governing-equation override (1-based "
                         "stage index; StageSpec.equation) — curriculum "
                         "stages, e.g. Helmholtz k-continuation")
+    p.add_argument("--deflation", default="off", choices=("off", "auto"),
+                   help="resonant-mode deflation after the final stage "
+                        "(TrainSpec.deflation; inert unless the operator "
+                        "has a resonance band)")
     p.add_argument("--auto-scl-cap", default="auto",
                    help="Nyquist guard on derived stage-2+ scl "
                         "(TrainSpec.auto_scl_cap): 'auto' = grid/4, "
@@ -184,6 +188,7 @@ def main():
         seed=args.seed, lr=args.lr, lr_min=args.lr_min, grid=args.grid,
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lsq_polish=args.lsq_polish, engine=args.engine,
+        deflation=args.deflation,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         lbfgs_history=args.lbfgs_history,
         adam_precision=args.adam_precision,

@@ -173,3 +173,56 @@ def test_lsq_polish_hard_bc_exact_recovery():
     assert rec["err_w"] < 1e-6, rec
     assert rec["u_err"] < 1e-8, rec
     assert rec["bc_err"] == 0.0, rec
+
+
+def test_resonant_deflation_recovers_planted_mode():
+    """A solution contaminated with a known resonance-ring mode is cleaned
+    by the residual-only estimator: u = u* + c·sin(4πx)sin(5πy) under
+    L = Δ + k², k=20 (λ_45 = 41π² ≈ 404.6, ε ≈ −4.6)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    k = 20.0
+    eq = f"u_xx + u_yy + {k*k}*u + {k*k}*sin({k}*x)*sin({k}*y)"
+    compiled = pde.compile_pde(eq, ("x", "y"))
+    c_true = 1.3e-3
+
+    def predictor(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return (jnp.sin(k * x) * jnp.sin(k * y)
+                + c_true * jnp.sin(4 * jnp.pi * x) * jnp.sin(5 * jnp.pi * y))
+
+    defl = polish.resonant_deflation(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        n_grid=81, max_mode=8)
+    assert defl is not None
+    got = dict(zip(map(tuple, defl["modes"]), defl["coeffs"]))
+    assert (4, 5) in got
+    assert got[(4, 5)] == pytest.approx(c_true, rel=0.05)
+    # every other band coefficient is noise-level
+    assert all(abs(v) < 0.05 * c_true for m, v in got.items() if m != (4, 5))
+    # term/fields consistency: subtracting the term removes the mode
+    import numpy as np
+    z = np.random.default_rng(0).uniform(0, 1, (500, 2))
+    term = polish.deflation_term(defl)
+    du, _ = polish.deflation_fields(defl, compiled, z)
+    assert np.allclose(np.asarray(term(jnp.asarray(z))), du, atol=1e-6)
+    err0 = c_true * np.sin(4 * np.pi * z[:, :1]) * np.sin(5 * np.pi * z[:, 1:])
+    assert np.abs(err0 - du).max() < 0.06 * c_true
+
+
+def test_resonant_deflation_inert_where_invalid():
+    """Non-diagonal operators (heat's ∂t) and c₀-free operators (Poisson)
+    select nothing — the deflation is safe to leave on 'auto'."""
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    pred = lambda params, z: jnp.sin(jnp.pi * z[:, 0:1]) * (1 - z[:, 1:2])
+    heat = pde.compile_pde("u_t - u_xx + 100*u", ("x", "t"))
+    assert polish.resonant_deflation(
+        pred, {}, heat, (0.0, 0.0), (1.0, 1.0), n_grid=41, max_mode=5) is None
+    poisson = pde.compile_pde("u_xx + u_yy", ("x", "y"))
+    assert polish.resonant_deflation(
+        pred, {}, poisson, (0.0, 0.0), (1.0, 1.0), n_grid=41,
+        max_mode=5) is None

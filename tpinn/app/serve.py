@@ -88,6 +88,14 @@ class PINNServer:
                 pde.compile_coord_expr(e, coords) for e in meta["hard_bc"]
             )
             predictor = net.wrap_hard_bc(predictor, lift_fn, bubble_fn)
+        if meta.get("deflation"):
+            # subtract the trained run's resonant-mode correction
+            # (polish.resonant_deflation; train.py saves it JSON-safe)
+            from tpinn.core.polish import deflation_term
+
+            _term = deflation_term(meta["deflation"])
+            _raw = predictor
+            predictor = lambda p, z: _raw(p, z) - _term(z)
         self.params, _ = ckpt.load_pytree(checkpoint, template)
         self.predictor = predictor
         self._predict = jax.jit(self.predictor)

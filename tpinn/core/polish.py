@@ -243,3 +243,227 @@ def _last_layer_lsq(predictor, compiled, params, data, lw0, source_fn,
     new_stage = dict(stage_params)
     new_stage["layers"] = list(stage_params["layers"][:-1]) + [new_last]
     return rebuild(new_stage), {"pre": pre, "post": post, "applied": True}
+
+
+# ===========================================================================
+# Resonant-mode deflation (spectral polish for near-singular linear PDEs)
+# ===========================================================================
+#
+# Motivation (measured, REPORT.md round 3): the trained Helmholtz k=20
+# solution's remaining error concentrates on the Dirichlet eigenmodes
+# v_ab = sin(aπx̂)sin(bπŷ) whose eigenvalue under L = Δ + k² is nearly
+# zero (λ_ab = π²(a²+b²) ≈ k², the "resonance ring").  Those modes vanish
+# on the boundary AND nearly annihilate the operator, so NO loss weighting
+# can see them: a unit of ring-mode error costs |k²−λ| ≈ 5 units of
+# residual against a broadband residual RMS ~1e-1.  But linearity makes
+# the leakage exactly recoverable from the residual field:
+#
+#     L e = r   and   L v_m = ε_m v_m   ⇒   ⟨e, v_m⟩ = ⟨r, v_m⟩ / ε_m
+#
+# so the correction  u ← u − Σ_m (⟨r,v_m⟩/ε_m) v_m  removes the
+# near-null-space component in closed form.  Validated offline on the hQ
+# run's saved fields: 2.06e-4 → 5.5e-5 rel-L2 (3.7×) with coefficients
+# estimated from the residual alone (the oracle-error coefficients agree
+# to 3 digits on the dominant modes).
+#
+# Everything is measured numerically from the compiled AST — no symbolic
+# coefficient extraction:
+#   * ε_m    = ⟨v_m, L v_m⟩/⟨v_m, v_m⟩ with L v built from the mode's
+#              analytic partials through CompiledPDE.evaluate (minus the
+#              zero-field base, which removes any inline source term);
+#   * a diagonality self-test rms(Lv − εv)/rms(Lv) rejects modes the
+#              operator does not diagonalize (first-order terms, variable
+#              coefficients, time marching — heat's ∂t fails it, so the
+#              deflation is naturally inert there);
+#   * the resonance band |ε| ≤ band·|c₀| is scaled by the operator's own
+#              zeroth-order coefficient c₀ (probed from the AST); c₀ ≈ 0
+#              (Poisson) selects nothing.
+
+
+def _mode_partials(m, lb, ub, z, indices):
+    """Analytic partials of v(z) = Π_d sin(m_d π (z_d − lb_d)/L_d) for the
+    compiled equation's multi-indices.  Host numpy, float64."""
+    import numpy as np
+
+    d = len(lb)
+    out = {}
+    cyc = (np.sin, np.cos, lambda a: -np.sin(a), lambda a: -np.cos(a))
+    for ix in indices:
+        orders = [sum(1 for j in ix if j == jj) for jj in range(d)]
+        val = np.ones((z.shape[0], 1))
+        for j in range(d):
+            w = m[j] * np.pi / (ub[j] - lb[j])
+            t = w * (z[:, j:j + 1] - lb[j])
+            val = val * (w ** orders[j]) * cyc[orders[j] % 4](t)
+        out[ix] = val
+    return out
+
+
+def _host_residual_f64(predictor, params, compiled, source_fn, z_np):
+    """Full residual of the trained predictor on a host grid, float64
+    (same policy as train.eval_stage_f64: the measurement must be more
+    precise than the model)."""
+    import numpy as np
+
+    from tpinn.utils.x64 import force_x64
+
+    cpu = jax.devices("cpu")[0]
+    with force_x64():
+        p64 = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a, jnp.float64), cpu),
+            params)
+        z64 = jax.device_put(jnp.asarray(z_np, jnp.float64), cpu)
+        with jax.default_device(cpu):
+            def _f(p, zz):
+                f = compiled.residual_fast(predictor, p, zz)
+                if source_fn is not None:
+                    f = f - source_fn(zz)
+                return f
+
+            return np.asarray(jax.jit(_f)(p64, z64))
+
+
+def resonant_deflation(
+    predictor: Callable,
+    params,
+    compiled,
+    lb,
+    ub,
+    source_fn: Optional[Callable] = None,
+    n_grid: int = 161,
+    band: float = 0.35,
+    max_mode: int = 16,
+    diag_tol: float = 0.02,
+):
+    """Estimate and return the near-resonant modal leakage of a trained
+    linear-PDE solution.  Returns ``None`` when the operator offers no
+    resonance band (nonlinear, c₀≈0, non-diagonal, or no mode selected);
+    otherwise a dict with ``modes``/``coeffs``/``eps`` (plain lists, JSON-
+    safe for checkpoint meta) and diagnostics."""
+    import numpy as np
+
+    if not compiled.is_linear:
+        return None
+    dim = len(lb)
+    if dim not in (1, 2):
+        return None
+    lb = [float(v) for v in lb]
+    ub = [float(v) for v in ub]
+
+    # the AST evaluation routes through jnp: keep it in f64 (the quadrature
+    # measures ~1e-4 coefficients against O(1) fields)
+    from tpinn.utils.x64 import force_x64
+
+    with force_x64():
+        return _resonant_deflation_x64(
+            predictor, params, compiled, lb, ub, source_fn,
+            n_grid, band, max_mode, diag_tol)
+
+
+def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
+                            n_grid, band, max_mode, diag_tol):
+    import numpy as np
+
+    dim = len(lb)
+    axes = [np.linspace(lb[j], ub[j], n_grid) for j in range(dim)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    z = np.stack([g.ravel() for g in mesh], axis=1)  # [n_grid^dim, dim]
+    w1 = np.ones(n_grid)
+    w1[0] = w1[-1] = 0.5                              # trapezoid
+    W = w1
+    for _ in range(dim - 1):
+        W = np.multiply.outer(W, w1)
+    W = (W / W.sum()).ravel()[:, None]                # normalized quadrature
+
+    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
+    base = np.asarray(compiled.evaluate(z, zeros))
+    # zeroth-order coefficient of the operator (the resonance scale)
+    if () in compiled.indices:
+        probe = dict(zeros)
+        probe[()] = np.ones((z.shape[0], 1))
+        c0_field = np.asarray(compiled.evaluate(z, probe)) - base
+        c0 = float(np.sum(c0_field * W))
+        if abs(c0) < 1e-12 or float(np.std(c0_field)) > 0.01 * abs(c0):
+            return None                               # no/variable c₀
+    else:
+        return None
+
+    r = _host_residual_f64(predictor, params, compiled, source_fn, z)
+
+    modes, coeffs, eps_list = [], [], []
+    ranges = [range(1, max_mode + 1)] * dim
+    import itertools
+
+    for m in itertools.product(*ranges):
+        parts = _mode_partials(m, lb, ub, z, compiled.indices)
+        v = parts.get(
+            (), _mode_partials(m, lb, ub, z, frozenset([()]))[()])
+        Lv = np.asarray(compiled.evaluate(z, parts)) - base
+        ip_vv = float(np.sum(v * v * W))
+        eps = float(np.sum(v * Lv * W)) / ip_vv
+        resid = Lv - eps * v
+        scale = float(np.sqrt(np.sum(Lv * Lv * W))) + 1e-300
+        if float(np.sqrt(np.sum(resid * resid * W))) / scale > diag_tol:
+            continue                                  # not an eigenmode of L
+        if abs(eps) > band * abs(c0):
+            continue                                  # outside the band
+        c = float(np.sum(r * v * W)) / ip_vv / eps
+        modes.append(list(m))
+        coeffs.append(c)
+        eps_list.append(eps)
+
+    if not modes:
+        return None
+    return {"modes": modes, "coeffs": coeffs, "eps": eps_list,
+            "c0": c0, "band": band, "n_grid": n_grid, "lb": lb, "ub": ub}
+
+
+def deflation_term(defl: Dict) -> Callable:
+    """jnp-traceable correction term T(z) = Σ_m c_m v_m(z); the deflated
+    predictor is u(z) − T(z).  Shared by training and serving rebuilds."""
+    modes = [tuple(m) for m in defl["modes"]]
+    coeffs = [float(c) for c in defl["coeffs"]]
+    lb = [float(v) for v in defl["lb"]]
+    ub = [float(v) for v in defl["ub"]]
+    dim = len(lb)
+
+    def term(z):
+        out = jnp.zeros((z.shape[0], 1), z.dtype)
+        for m, c in zip(modes, coeffs):
+            v = jnp.ones((z.shape[0], 1), z.dtype)
+            for j in range(dim):
+                w = m[j] * jnp.pi / (ub[j] - lb[j])
+                v = v * jnp.sin(w * (z[:, j:j + 1] - lb[j]))
+            out = out + c * v
+        return out
+
+    return term
+
+
+def deflation_fields(defl: Dict, compiled, z_np):
+    """(du, df): the correction's value and exact operator action on an
+    evaluation grid, host numpy — so callers can adjust already-computed
+    u/residual fields without re-running the network."""
+    import numpy as np
+
+    from tpinn.utils.x64 import force_x64
+
+    with force_x64():
+        return _deflation_fields_x64(defl, compiled, np.asarray(z_np))
+
+
+def _deflation_fields_x64(defl, compiled, z_np):
+    import numpy as np
+
+    lb, ub = defl["lb"], defl["ub"]
+    zeros = {ix: np.zeros((z_np.shape[0], 1)) for ix in compiled.indices}
+    base = np.asarray(compiled.evaluate(z_np, zeros))
+    du = np.zeros((z_np.shape[0], 1))
+    df = np.zeros((z_np.shape[0], 1))
+    for m, c in zip(defl["modes"], defl["coeffs"]):
+        parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
+        v = parts.get(
+            (), _mode_partials(tuple(m), lb, ub, z_np, frozenset([()]))[()])
+        du += c * v
+        df += c * (np.asarray(compiled.evaluate(z_np, parts)) - base)
+    return du, df

@@ -198,6 +198,17 @@ class TrainSpec:
     # feature learning, one exact convex solve lands the output layer on
     # the quadratic's optimum.
     lsq_polish: str = "off"
+    # Resonant-mode deflation after the FINAL stage ("off" | "auto"):
+    # for linear PDEs with a constant zeroth-order coefficient c₀ (e.g.
+    # Helmholtz Δu + k²u), project the residual field onto the Dirichlet
+    # sine eigenmodes inside the resonance band |ε| ≤ 0.35·c₀ and subtract
+    # the exactly-recoverable near-null-space leakage ⟨r,v⟩/ε · v from the
+    # solution (polish.resonant_deflation).  Measured on helmholtz k=20:
+    # the trained error concentrates on the ring λ≈k² that no loss term
+    # can see; deflation cut it 3.7× offline.  Inert (auto-skips) for
+    # nonlinear/no-c₀/non-diagonal operators — heat's ∂t fails the
+    # diagonality self-test, Poisson has c₀=0.
+    deflation: str = "off"
     # Derivative-engine selection for the loss residual (loss.make_loss):
     # "auto" | "generic" | "fused" | "kernel".  "generic" builds a
     # different XLA graph shape — also the workaround for tunneled-TPU
@@ -963,6 +974,30 @@ def run_training(
             predictor, params, X_star, compiled_st, source_fn, problem.exact
         )
 
+        # --- resonant-mode deflation (final stage only; see TrainSpec)
+        defl = None
+        if (si == len(spec.stages) - 1 and spec.deflation == "auto"
+                and compiled_st.is_linear):
+            from tpinn.core import polish as polish_mod
+
+            defl = polish_mod.resonant_deflation(
+                predictor, params, compiled_st, problem.lb, problem.ub,
+                source_fn=source_fn,
+            )
+            if defl is not None:
+                du, df = polish_mod.deflation_fields(defl, compiled_st,
+                                                     np.asarray(X_star))
+                u_star = u_star - du
+                f_star = f_star - df
+                term = polish_mod.deflation_term(defl)
+                raw = frozen
+                frozen = lambda z, _raw=raw, _t=term: _raw(z) - _t(z)
+                tops = sorted(zip(defl["coeffs"], defl["modes"]),
+                              key=lambda t: -abs(t[0]))[:3]
+                log(f"stage {stage_no}: resonant deflation removed "
+                    f"{len(defl['modes'])} band modes "
+                    f"(top {[(m, f'{c:.2e}') for c, m in tops]})")
+
         if problem.dim == 1:
             U = u_star[:, 0][None, :]                 # [1, nx]
             F = f_star[:, 0][None, :]
@@ -1002,7 +1037,10 @@ def run_training(
                       "hard_bc": (list(problem.hard_bc)
                                   if problem.hard_bc else None),
                       "coords": list(problem.coords),
-                      "pad_features": spec.pad_features},
+                      "pad_features": spec.pad_features,
+                      # JSON-safe modal correction; serving subtracts
+                      # polish.deflation_term(meta["deflation"])
+                      "deflation": defl},
             )
             # the stage-level checkpoint supersedes any mid-stage Adam state
             mid = out / f"adam_state_stage_{stage_no}.npz"
