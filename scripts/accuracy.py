@@ -128,10 +128,12 @@ def main():
                    help="per-stage governing-equation override (1-based "
                         "stage index; StageSpec.equation) — curriculum "
                         "stages, e.g. Helmholtz k-continuation")
-    p.add_argument("--deflation", default="off", choices=("off", "auto"),
-                   help="resonant-mode deflation after the final stage "
-                        "(TrainSpec.deflation; inert unless the operator "
-                        "has a resonance band)")
+    p.add_argument("--deflation", default="off",
+                   choices=("off", "auto", "full"),
+                   help="spectral error correction after the final stage "
+                        "(TrainSpec.deflation): auto = resonance-band "
+                        "deflation, full = exact defect correction "
+                        "(hard-BC only); inert where invalid")
     p.add_argument("--auto-scl-cap", default="auto",
                    help="Nyquist guard on derived stage-2+ scl "
                         "(TrainSpec.auto_scl_cap): 'auto' = grid/4, "

@@ -226,3 +226,80 @@ def test_resonant_deflation_inert_where_invalid():
     assert polish.resonant_deflation(
         pred, {}, poisson, (0.0, 0.0), (1.0, 1.0), n_grid=41,
         max_mode=5) is None
+
+
+def test_full_defect_correction_elliptic():
+    """Planted smooth error under Poisson + hard-BC: the full-band
+    inversion e = L⁻¹r recovers it from the residual alone."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    eq = "u_xx + u_yy + 2*pi**2*sin(pi*x)*sin(pi*y)"
+    compiled = pde.compile_pde(eq, ("x", "y"))
+    c_true = 2.7e-4
+
+    def predictor(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return (jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+                + c_true * jnp.sin(2 * jnp.pi * x) * jnp.sin(3 * jnp.pi * y))
+
+    defl = polish.defect_correction(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=("0", "x*(1 - x)*y*(1 - y)"), mode="full",
+        coords=("x", "y"), n_grid=61, max_mode=6)
+    assert defl is not None and defl["kind"] == "modal"
+    got = dict(zip(map(tuple, defl["modes"]), defl["coeffs"]))
+    assert got[(2, 3)] == pytest.approx(c_true, rel=0.03)
+    z = np.random.default_rng(1).uniform(0, 1, (400, 2))
+    du, _ = polish.deflation_fields(defl, compiled, z)
+    g = c_true * np.sin(2 * np.pi * z[:, :1]) * np.sin(3 * np.pi * z[:, 1:])
+    assert np.abs(du - g).max() < 0.05 * c_true
+
+
+def test_full_defect_correction_parabolic():
+    """Planted error with zero IC/BC under the heat operator: the
+    per-mode Duhamel march reconstructs it from the residual."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_t - u_xx", ("x", "t"))
+    c_true = 8e-4
+
+    def predictor(params, z):
+        x, t = z[:, 0:1], z[:, 1:2]
+        u_star = jnp.exp(-jnp.pi ** 2 * t) * jnp.sin(jnp.pi * x)
+        g = c_true * jnp.sin(2 * jnp.pi * x) * (1 - jnp.exp(-3 * t))
+        return u_star + g
+
+    defl = polish.defect_correction(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=("sin(pi*x)", "t*x*(1 - x)"), mode="full",
+        coords=("x", "t"), n_grid=121, max_mode=6)
+    assert defl is not None and defl["kind"] == "parabolic"
+    z = np.random.default_rng(2).uniform(0, 1, (400, 2))
+    du, df = polish.deflation_fields(defl, compiled, z)
+    g = (c_true * np.sin(2 * np.pi * z[:, :1])
+         * (1 - np.exp(-3 * z[:, 1:])))
+    assert np.abs(du - g).max() < 0.04 * c_true
+    # the jnp term agrees with the numpy fields
+    term = polish.deflation_term(defl)
+    assert np.allclose(np.asarray(term(jnp.asarray(z))), du, atol=1e-6)
+
+
+def test_full_defect_requires_vanishing_bubble():
+    """mode='full' refuses when the bubble does not vanish on a
+    constrained face (soft-BC error would leak through the inversion)."""
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_xx + u_yy + 2*u", ("x", "y"))
+    pred = lambda p, z: jnp.sin(jnp.pi * z[:, 0:1]) * z[:, 1:2]
+    assert polish.defect_correction(
+        pred, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=("0", "x*(1 - x)"),   # nonzero on the y faces
+        mode="full", coords=("x", "y"), n_grid=41, max_mode=4) is None
+    assert polish.defect_correction(
+        pred, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=None, mode="full", coords=("x", "y")) is None

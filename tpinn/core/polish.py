@@ -331,7 +331,7 @@ def resonant_deflation(
     ub,
     source_fn: Optional[Callable] = None,
     n_grid: int = 161,
-    band: float = 0.35,
+    band=0.35,
     max_mode: int = 16,
     diag_tol: float = 0.02,
 ):
@@ -339,7 +339,12 @@ def resonant_deflation(
     linear-PDE solution.  Returns ``None`` when the operator offers no
     resonance band (nonlinear, c₀≈0, non-diagonal, or no mode selected);
     otherwise a dict with ``modes``/``coeffs``/``eps`` (plain lists, JSON-
-    safe for checkpoint meta) and diagnostics."""
+    safe for checkpoint meta) and diagnostics.
+
+    ``band="full"`` inverts the WHOLE truncated spectrum instead of a
+    resonance band — the exact defect correction e = L⁻¹r, valid when the
+    error has homogeneous Dirichlet data on every face (hard-BC ansatz);
+    use through :func:`defect_correction`, which checks that."""
     import numpy as np
 
     if not compiled.is_linear:
@@ -375,18 +380,20 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
         W = np.multiply.outer(W, w1)
     W = (W / W.sum()).ravel()[:, None]                # normalized quadrature
 
+    full = band == "full"
     zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
     base = np.asarray(compiled.evaluate(z, zeros))
     # zeroth-order coefficient of the operator (the resonance scale)
+    c0 = 0.0
     if () in compiled.indices:
         probe = dict(zeros)
         probe[()] = np.ones((z.shape[0], 1))
         c0_field = np.asarray(compiled.evaluate(z, probe)) - base
         c0 = float(np.sum(c0_field * W))
-        if abs(c0) < 1e-12 or float(np.std(c0_field)) > 0.01 * abs(c0):
-            return None                               # no/variable c₀
-    else:
-        return None
+        if abs(c0) > 1e-12 and float(np.std(c0_field)) > 0.01 * abs(c0):
+            return None                               # variable c₀
+    if not full and abs(c0) < 1e-12:
+        return None                                   # no resonance scale
 
     r = _host_residual_f64(predictor, params, compiled, source_fn, z)
 
@@ -405,7 +412,10 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
         scale = float(np.sqrt(np.sum(Lv * Lv * W))) + 1e-300
         if float(np.sqrt(np.sum(resid * resid * W))) / scale > diag_tol:
             continue                                  # not an eigenmode of L
-        if abs(eps) > band * abs(c0):
+        if full:
+            if abs(eps) < 1e-9 * scale:
+                continue                              # exactly-singular mode
+        elif abs(eps) > band * abs(c0):
             continue                                  # outside the band
         c = float(np.sum(r * v * W)) / ip_vv / eps
         modes.append(list(m))
@@ -414,13 +424,18 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
 
     if not modes:
         return None
-    return {"modes": modes, "coeffs": coeffs, "eps": eps_list,
-            "c0": c0, "band": band, "n_grid": n_grid, "lb": lb, "ub": ub}
+    return {"kind": "modal", "modes": modes, "coeffs": coeffs,
+            "eps": eps_list, "c0": c0, "band": band, "n_grid": n_grid,
+            "lb": lb, "ub": ub}
 
 
 def deflation_term(defl: Dict) -> Callable:
-    """jnp-traceable correction term T(z) = Σ_m c_m v_m(z); the deflated
-    predictor is u(z) − T(z).  Shared by training and serving rebuilds."""
+    """jnp-traceable correction term T(z); the corrected predictor is
+    u(z) − T(z).  Shared by training and serving rebuilds.  Handles both
+    correction kinds: "modal" (Σ c_m v_m) and "parabolic"
+    (Σ e_m(τ)·v_m(x), the per-mode Duhamel series interpolated in τ)."""
+    if defl.get("kind", "modal") == "parabolic":
+        return _parabolic_term(defl)
     modes = [tuple(m) for m in defl["modes"]]
     coeffs = [float(c) for c in defl["coeffs"]]
     lb = [float(v) for v in defl["lb"]]
@@ -440,11 +455,52 @@ def deflation_term(defl: Dict) -> Callable:
     return term
 
 
+def _parabolic_term(defl: Dict) -> Callable:
+    modes = [tuple(m) for m in defl["modes"]]
+    series = [jnp.asarray(s) for s in defl["series"]]
+    tau_grid = jnp.asarray(defl["tau_grid"])
+    tau, spatial = int(defl["tau"]), [int(j) for j in defl["spatial"]]
+    lb = [float(v) for v in defl["lb"]]
+    ub = [float(v) for v in defl["ub"]]
+
+    def term(z):
+        out = jnp.zeros((z.shape[0], 1), z.dtype)
+        t = z[:, tau]
+        for m, e_m in zip(modes, series):
+            v = jnp.ones((z.shape[0], 1), z.dtype)
+            for k_ax, j in enumerate(spatial):
+                w = m[k_ax] * jnp.pi / (ub[j] - lb[j])
+                v = v * jnp.sin(w * (z[:, j:j + 1] - lb[j]))
+            e = jnp.interp(t, tau_grid, e_m.astype(z.dtype))[:, None]
+            out = out + e * v
+        return out
+
+    return term
+
+
 def deflation_fields(defl: Dict, compiled, z_np):
     """(du, df): the correction's value and exact operator action on an
     evaluation grid, host numpy — so callers can adjust already-computed
-    u/residual fields without re-running the network."""
+    u/residual fields without re-running the network.  For the parabolic
+    kind, L(correction) = Σ_m r_m(τ)v_m(x) by construction (the Duhamel
+    series solves a·e' + μe = r_m exactly), so df uses the stored rhs."""
     import numpy as np
+
+    if defl.get("kind", "modal") == "parabolic":
+        z = np.asarray(z_np)
+        tau, spatial = int(defl["tau"]), [int(j) for j in defl["spatial"]]
+        lb, ub = defl["lb"], defl["ub"]
+        tg = np.asarray(defl["tau_grid"])
+        du = np.zeros((z.shape[0], 1))
+        df = np.zeros((z.shape[0], 1))
+        for m, e_m, r_m in zip(defl["modes"], defl["series"], defl["rhs"]):
+            v = np.ones((z.shape[0], 1))
+            for k_ax, j in enumerate(spatial):
+                w = m[k_ax] * np.pi / (ub[j] - lb[j])
+                v = v * np.sin(w * (z[:, j:j + 1] - lb[j]))
+            du += np.interp(z[:, tau], tg, np.asarray(e_m))[:, None] * v
+            df += np.interp(z[:, tau], tg, np.asarray(r_m))[:, None] * v
+        return du, df
 
     from tpinn.utils.x64 import force_x64
 
@@ -467,3 +523,250 @@ def _deflation_fields_x64(defl, compiled, z_np):
         du += c * v
         df += c * (np.asarray(compiled.evaluate(z_np, parts)) - base)
     return du, df
+
+
+def parabolic_defect(
+    predictor: Callable,
+    params,
+    compiled,
+    lb,
+    ub,
+    source_fn: Optional[Callable] = None,
+    n_grid: int = 161,
+    max_mode: int = 32,
+    diag_tol: float = 0.02,
+):
+    """Exact defect correction for constant-coefficient PARABOLIC problems
+    (one march coordinate τ entering only as a·u_τ; the spatial part
+    diagonalized by Dirichlet sines): per spatial mode v_m,
+
+        a·e_m'(τ) + μ_m·e_m(τ) = r_m(τ),   e_m(τ_lb) = 0
+        ⇒ e_m(τ) = (1/a)∫ exp(−μ_m(τ−s)/a)·r_m(s) ds     (Duhamel)
+
+    with μ_m = ⟨v_m, L_spatial v_m⟩ measured numerically from the AST and
+    r_m(τ) the sine transform of the residual field.  Valid when the
+    error vanishes on the spatial boundary and the τ=lb face — i.e. the
+    hard-BC ansatz; the dispatcher checks the bubble.  Returns None when
+    the operator is not of this form."""
+    import numpy as np
+
+    if not compiled.is_linear:
+        return None
+    dim = len(lb)
+    if dim < 2:
+        return None
+    lb = [float(v) for v in lb]
+    ub = [float(v) for v in ub]
+
+    from tpinn.utils.x64 import force_x64
+
+    with force_x64():
+        return _parabolic_defect_x64(predictor, params, compiled, lb, ub,
+                                     source_fn, n_grid, max_mode, diag_tol)
+
+
+def _parabolic_defect_x64(predictor, params, compiled, lb, ub, source_fn,
+                          n_grid, max_mode, diag_tol):
+    import itertools
+
+    import numpy as np
+
+    dim = len(lb)
+    # --- find the march coordinate: appears ONLY as the pure first-order
+    # index (j,); mixed or higher τ-derivatives break the mode ODE
+    cands = []
+    for j in range(dim):
+        ixs = [ix for ix in compiled.indices if j in ix]
+        if ixs == [(j,)]:
+            cands.append(j)
+    if len(cands) != 1:
+        return None
+    tau = cands[0]
+    spatial = [j for j in range(dim) if j != tau]
+
+    axes = [np.linspace(lb[j], ub[j], n_grid) for j in range(dim)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    z = np.stack([g.ravel() for g in mesh], axis=1)
+    n_pts = z.shape[0]
+
+    zeros = {ix: np.zeros((n_pts, 1)) for ix in compiled.indices}
+    base = np.asarray(compiled.evaluate(z, zeros))
+
+    # march coefficient a (must be a nonzero constant)
+    probe = dict(zeros)
+    probe[(tau,)] = np.ones((n_pts, 1))
+    a_field = np.asarray(compiled.evaluate(z, probe)) - base
+    a = float(a_field.mean())
+    if abs(a) < 1e-12 or float(np.std(a_field)) > 0.01 * abs(a):
+        return None
+
+    # spatial quadrature weights on the flattened grid (trapezoid per axis)
+    w1 = np.ones(n_grid)
+    w1[0] = w1[-1] = 0.5
+    w1 = w1 / w1.sum()
+    Wsp = np.ones(n_pts)
+    for j in spatial:
+        idx = (np.arange(n_pts) // n_grid ** (dim - 1 - j)) % n_grid
+        Wsp = Wsp * w1[idx]
+    Wsp = Wsp[:, None]
+
+    r = _host_residual_f64(predictor, params, compiled, source_fn, z)
+    shape = (n_grid,) * dim
+    r_nd = r.reshape(shape)
+    taus = axes[tau]
+    dt = taus[1] - taus[0]
+
+    # move τ last for per-mode time series
+    perm = spatial + [tau]
+    r_sp = np.transpose(r_nd, perm).reshape(-1, n_grid)  # [spatial_pts, nτ]
+    wsp_flat = np.ones(r_sp.shape[0])
+    for k_ax in range(len(spatial)):
+        idx = (np.arange(r_sp.shape[0])
+               // n_grid ** (len(spatial) - 1 - k_ax)) % n_grid
+        wsp_flat = wsp_flat * w1[idx]
+
+    # spatial-mode machinery: analytic partials of v over spatial coords,
+    # τ-derivative identically zero (v is τ-independent)
+    spatial_meshes = [np.transpose(mesh[j], perm).reshape(-1, n_grid)[:, :1]
+                      for j in spatial]
+
+    def spatial_mode(m):
+        v = np.ones((r_sp.shape[0], 1))
+        for k_ax, j in enumerate(spatial):
+            w = m[k_ax] * np.pi / (ub[j] - lb[j])
+            v = v * np.sin(w * (spatial_meshes[k_ax] - lb[j]))
+        return v  # [spatial_pts, 1]
+
+    modes, series, rhs_series, mus = [], [], [], []
+    tau_scale = 1.0  # for overflow guard on anti-diffusive modes
+    for m in itertools.product(*([range(1, max_mode + 1)]
+                                 * len(spatial))):
+        # μ_m from the full-grid AST evaluation with τ-parts zeroed
+        parts = {}
+        for ix in compiled.indices:
+            if tau in ix:
+                parts[ix] = np.zeros((n_pts, 1))
+            else:
+                # orders over spatial coordinates only
+                mm = [0] * dim
+                for k_ax, j in enumerate(spatial):
+                    mm[j] = m[k_ax]
+                parts[ix] = _mode_partials_subset(mm, lb, ub, z, ix, spatial)
+        v_full = parts.get(())
+        if v_full is None:
+            v_full = _mode_partials_subset(
+                [m[spatial.index(j)] if j in spatial else 0
+                 for j in range(dim)], lb, ub, z, (), spatial)
+        Lv = np.asarray(compiled.evaluate(z, parts)) - base
+        ip = float(np.sum(v_full * v_full * Wsp)) / n_grid  # τ-avg absorbs
+        mu = float(np.sum(v_full * Lv * Wsp)) / n_grid / ip
+        resid = Lv - mu * v_full
+        scale = float(np.sqrt(np.sum(Lv * Lv * Wsp) / n_grid)) + 1e-300
+        if float(np.sqrt(np.sum(resid * resid * Wsp) / n_grid)) / scale \
+                > diag_tol:
+            continue
+        if mu / a * dt < -30.0:
+            continue                        # anti-diffusive blowup guard
+        v = spatial_mode(m)
+        ip_v = float(np.sum(v[:, 0] ** 2 * wsp_flat))
+        r_m = (r_sp * (v[:, 0] * wsp_flat)[:, None]).sum(0) / ip_v  # [nτ]
+        # exact integrating factor + trapezoid source
+        decay = np.exp(-mu / a * dt)
+        e_m = np.zeros(n_grid)
+        for i in range(1, n_grid):
+            e_m[i] = (e_m[i - 1] * decay
+                      + 0.5 * dt / a * (r_m[i] + r_m[i - 1] * decay))
+        modes.append(list(m))
+        series.append(e_m.tolist())
+        rhs_series.append(r_m.tolist())
+        mus.append(mu)
+
+    if not modes:
+        return None
+    return {"kind": "parabolic", "modes": modes, "series": series,
+            "rhs": rhs_series, "mu": mus, "a": a, "tau": tau,
+            "spatial": spatial, "tau_grid": taus.tolist(),
+            "n_grid": n_grid, "lb": lb, "ub": ub}
+
+
+def _mode_partials_subset(mm, lb, ub, z, ix, spatial):
+    """Partial ∂_ix of Π_{j∈spatial} sin(mm_j π (z_j−lb_j)/L_j) — zero
+    whenever ix derives a non-spatial coordinate (v is constant there)."""
+    import numpy as np
+
+    cyc = (np.sin, np.cos, lambda t: -np.sin(t), lambda t: -np.cos(t))
+    val = np.ones((z.shape[0], 1))
+    for j in spatial:
+        order = sum(1 for jj in ix if jj == j)
+        w = mm[j] * np.pi / (ub[j] - lb[j])
+        t = w * (z[:, j:j + 1] - lb[j])
+        val = val * (w ** order) * cyc[order % 4](t)
+    return val
+
+
+def defect_correction(
+    predictor: Callable,
+    params,
+    compiled,
+    lb,
+    ub,
+    hard_bc,
+    mode: str = "auto",
+    source_fn: Optional[Callable] = None,
+    coords=None,
+    **kw,
+):
+    """Dispatcher for the spectral error corrections.
+
+    ``mode="auto"``: resonance-band deflation (safe for soft BCs — only
+    removes the modes no loss term can see).
+    ``mode="full"``: exact defect correction e = L⁻¹r over the truncated
+    spectrum — parabolic (Duhamel march) when the operator has a march
+    coordinate, elliptic full-band otherwise.  Requires the hard-BC
+    ansatz (the error must carry zero Dirichlet data on the constrained
+    faces); the bubble is CHECKED numerically on those faces."""
+    if mode == "auto":
+        return resonant_deflation(predictor, params, compiled, lb, ub,
+                                  source_fn=source_fn, **kw)
+    if mode != "full":
+        return None
+    if hard_bc is None or coords is None:
+        return None
+
+    para = parabolic_defect(predictor, params, compiled, lb, ub,
+                            source_fn=source_fn, **kw)
+    free_faces = ()
+    if para is not None:
+        # initial-value march: the τ=ub face carries no error condition
+        free_faces = ((para["tau"], 1),)
+    if not _bubble_vanishes_on_faces(hard_bc[1], coords, lb, ub, free_faces):
+        return None
+    if para is not None:
+        return para
+    kw.setdefault("max_mode", 24)
+    return resonant_deflation(predictor, params, compiled, lb, ub,
+                              source_fn=source_fn, band="full", **kw)
+
+
+def _bubble_vanishes_on_faces(bubble_expr, coords, lb, ub, free_faces):
+    """True iff the hard-BC bubble is ~0 on every box face except
+    ``free_faces`` — the condition for the error to have homogeneous
+    Dirichlet data there (u = lift + bubble·N with exact lift)."""
+    import numpy as np
+
+    from tpinn.core import pde
+
+    fn = pde.compile_coord_expr(bubble_expr, tuple(coords))
+    dim = len(lb)
+    rng = np.random.default_rng(0)
+    for j in range(dim):
+        for side in (0, 1):
+            if (j, side) in free_faces:
+                continue
+            z = rng.uniform(0, 1, (64, dim))
+            for k in range(dim):
+                z[:, k] = lb[k] + z[:, k] * (ub[k] - lb[k])
+            z[:, j] = (lb[j], ub[j])[side]
+            if float(np.abs(np.asarray(fn(z))).max()) > 1e-6:
+                return False
+    return True

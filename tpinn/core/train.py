@@ -198,16 +198,20 @@ class TrainSpec:
     # feature learning, one exact convex solve lands the output layer on
     # the quadratic's optimum.
     lsq_polish: str = "off"
-    # Resonant-mode deflation after the FINAL stage ("off" | "auto"):
-    # for linear PDEs with a constant zeroth-order coefficient c₀ (e.g.
-    # Helmholtz Δu + k²u), project the residual field onto the Dirichlet
-    # sine eigenmodes inside the resonance band |ε| ≤ 0.35·c₀ and subtract
-    # the exactly-recoverable near-null-space leakage ⟨r,v⟩/ε · v from the
-    # solution (polish.resonant_deflation).  Measured on helmholtz k=20:
-    # the trained error concentrates on the ring λ≈k² that no loss term
-    # can see; deflation cut it 3.7× offline.  Inert (auto-skips) for
-    # nonlinear/no-c₀/non-diagonal operators — heat's ∂t fails the
-    # diagonality self-test, Poisson has c₀=0.
+    # Spectral error correction after the FINAL stage (polish.defect_
+    # correction): "off" | "auto" | "full".
+    # "auto" — resonance-band deflation: for linear PDEs with a constant
+    # zeroth-order coefficient c₀ (Helmholtz Δu+k²u), subtract the modal
+    # leakage ⟨r,v⟩/ε·v on the near-null eigenmodes |ε| ≤ 0.35·c₀ that NO
+    # loss term can see (measured: hQ's error FFT sits on the ring λ≈k²;
+    # offline 3.7×).  Safe for soft BCs; inert when the operator has no
+    # band (Poisson c₀=0) or isn't sine-diagonal (heat's ∂t).
+    # "full" — exact defect correction e = L⁻¹r over the truncated
+    # spectrum, valid when the error carries zero Dirichlet data (hard-BC
+    # ansatz; the bubble is checked numerically on the constrained faces):
+    # elliptic full-band inversion, or the per-mode Duhamel march for
+    # parabolic operators (heat).  Offline on committed runs: poisson_2d
+    # 6.8×, heat 3.4×.
     deflation: str = "off"
     # Derivative-engine selection for the loss residual (loss.make_loss):
     # "auto" | "generic" | "fused" | "kernel".  "generic" builds a
@@ -974,15 +978,16 @@ def run_training(
             predictor, params, X_star, compiled_st, source_fn, problem.exact
         )
 
-        # --- resonant-mode deflation (final stage only; see TrainSpec)
+        # --- spectral error correction (final stage only; see TrainSpec)
         defl = None
-        if (si == len(spec.stages) - 1 and spec.deflation == "auto"
+        if (si == len(spec.stages) - 1 and spec.deflation != "off"
                 and compiled_st.is_linear):
             from tpinn.core import polish as polish_mod
 
-            defl = polish_mod.resonant_deflation(
+            defl = polish_mod.defect_correction(
                 predictor, params, compiled_st, problem.lb, problem.ub,
-                source_fn=source_fn,
+                problem.hard_bc, mode=spec.deflation,
+                source_fn=source_fn, coords=problem.coords,
             )
             if defl is not None:
                 du, df = polish_mod.deflation_fields(defl, compiled_st,
@@ -992,11 +997,9 @@ def run_training(
                 term = polish_mod.deflation_term(defl)
                 raw = frozen
                 frozen = lambda z, _raw=raw, _t=term: _raw(z) - _t(z)
-                tops = sorted(zip(defl["coeffs"], defl["modes"]),
-                              key=lambda t: -abs(t[0]))[:3]
-                log(f"stage {stage_no}: resonant deflation removed "
-                    f"{len(defl['modes'])} band modes "
-                    f"(top {[(m, f'{c:.2e}') for c, m in tops]})")
+                log(f"stage {stage_no}: spectral correction "
+                    f"({defl['kind']}) removed {len(defl['modes'])} modes, "
+                    f"|du|_rms {float(np.sqrt((du**2).mean())):.3e}")
 
         if problem.dim == 1:
             U = u_star[:, 0][None, :]                 # [1, nx]
