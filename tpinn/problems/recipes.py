@@ -101,12 +101,19 @@ RECIPES = {
         spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
                         n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300),
         hard_bc=True, expected_rel_l2=8.1e-7, run_tag="pJ"),
-    # tP: 6.57e-5 rel-L2 (stage-2 scl Nyquist-capped at 8)
+    # tS: 3.69e-5 rel-L2 — the single-stage VP recipe (the annulus
+    # winner's shape transplanted; beat every 2-stage arm at 1/3 the wall)
     "heat_2d": Recipe(
-        spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
-                        n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300,
-                        stage2_scl=8.0),
-        hard_bc=True, expected_rel_l2=6.6e-5, run_tag="tP"),
+        spec=TrainSpec(
+            n_col=20000, n_band=2000, n_adaptive=6000, n_bd=500,
+            lw=(1.0, 0.0),
+            stages=(StageSpec(depth=6, width=96, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=20000, lbfgs_epochs=12000,
+                              lbfgs_grid=300, lbfgs_rounds=3),),
+            lsq_polish="auto", pad_features=3,
+        ),
+        hard_bc=True, expected_rel_l2=3.7e-5, run_tag="tS"),
     # hQ: 4.21e-4 rel-L2 — soft BC, Fourier features, k-continuation
     "helmholtz_2d": Recipe(
         spec=TrainSpec(
