@@ -283,20 +283,21 @@ def _last_layer_lsq(predictor, compiled, params, data, lw0, source_fn,
 def _mode_partials(m, lb, ub, z, indices):
     """Analytic partials of v(z) = Π_d sin(m_d π (z_d − lb_d)/L_d) for the
     compiled equation's multi-indices.  Host numpy, float64."""
-    import numpy as np
-
     d = len(lb)
-    out = {}
-    cyc = (np.sin, np.cos, lambda a: -np.sin(a), lambda a: -np.cos(a))
-    for ix in indices:
-        orders = [sum(1 for j in ix if j == jj) for jj in range(d)]
-        val = np.ones((z.shape[0], 1))
-        for j in range(d):
-            w = m[j] * np.pi / (ub[j] - lb[j])
-            t = w * (z[:, j:j + 1] - lb[j])
-            val = val * (w ** orders[j]) * cyc[orders[j] % 4](t)
-        out[ix] = val
-    return out
+    return {ix: _mode_partials_subset(m, lb, ub, z, ix, range(d))
+            for ix in indices}
+
+
+def _mode_value(xp, z, m, axes, lb, ub):
+    """Π_k sin(m_k π (z[:, j_k] − lb_{j_k})/L_{j_k}) over the coordinate
+    columns ``axes`` — the one sine-product used by every correction path
+    (training term, serving rebuild, field adjustment).  ``xp`` is numpy
+    for host f64 callers or jnp for traced ones; dtype follows ``z``."""
+    v = xp.ones((z.shape[0], 1), z.dtype)
+    for k, j in enumerate(axes):
+        w = m[k] * xp.pi / (ub[j] - lb[j])
+        v = v * xp.sin(w * (z[:, j:j + 1] - lb[j]))
+    return v
 
 
 def _host_residual_f64(predictor, params, compiled, source_fn, z_np):
@@ -403,8 +404,8 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
 
     for m in itertools.product(*ranges):
         parts = _mode_partials(m, lb, ub, z, compiled.indices)
-        v = parts.get(
-            (), _mode_partials(m, lb, ub, z, frozenset([()]))[()])
+        v = (parts[()] if () in parts
+             else _mode_value(np, z, m, range(dim), lb, ub))
         Lv = np.asarray(compiled.evaluate(z, parts)) - base
         ip_vv = float(np.sum(v * v * W))
         eps = float(np.sum(v * Lv * W)) / ip_vv
@@ -445,11 +446,7 @@ def deflation_term(defl: Dict) -> Callable:
     def term(z):
         out = jnp.zeros((z.shape[0], 1), z.dtype)
         for m, c in zip(modes, coeffs):
-            v = jnp.ones((z.shape[0], 1), z.dtype)
-            for j in range(dim):
-                w = m[j] * jnp.pi / (ub[j] - lb[j])
-                v = v * jnp.sin(w * (z[:, j:j + 1] - lb[j]))
-            out = out + c * v
+            out = out + c * _mode_value(jnp, z, m, range(dim), lb, ub)
         return out
 
     return term
@@ -467,10 +464,7 @@ def _parabolic_term(defl: Dict) -> Callable:
         out = jnp.zeros((z.shape[0], 1), z.dtype)
         t = z[:, tau]
         for m, e_m in zip(modes, series):
-            v = jnp.ones((z.shape[0], 1), z.dtype)
-            for k_ax, j in enumerate(spatial):
-                w = m[k_ax] * jnp.pi / (ub[j] - lb[j])
-                v = v * jnp.sin(w * (z[:, j:j + 1] - lb[j]))
+            v = _mode_value(jnp, z, m, spatial, lb, ub)
             e = jnp.interp(t, tau_grid, e_m.astype(z.dtype))[:, None]
             out = out + e * v
         return out
@@ -494,10 +488,7 @@ def deflation_fields(defl: Dict, compiled, z_np):
         du = np.zeros((z.shape[0], 1))
         df = np.zeros((z.shape[0], 1))
         for m, e_m, r_m in zip(defl["modes"], defl["series"], defl["rhs"]):
-            v = np.ones((z.shape[0], 1))
-            for k_ax, j in enumerate(spatial):
-                w = m[k_ax] * np.pi / (ub[j] - lb[j])
-                v = v * np.sin(w * (z[:, j:j + 1] - lb[j]))
+            v = _mode_value(np, z, m, spatial, lb, ub)
             du += np.interp(z[:, tau], tg, np.asarray(e_m))[:, None] * v
             df += np.interp(z[:, tau], tg, np.asarray(r_m))[:, None] * v
         return du, df
@@ -516,10 +507,11 @@ def _deflation_fields_x64(defl, compiled, z_np):
     base = np.asarray(compiled.evaluate(z_np, zeros))
     du = np.zeros((z_np.shape[0], 1))
     df = np.zeros((z_np.shape[0], 1))
+    dim = len(lb)
     for m, c in zip(defl["modes"], defl["coeffs"]):
         parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
-        v = parts.get(
-            (), _mode_partials(tuple(m), lb, ub, z_np, frozenset([()]))[()])
+        v = (parts[()] if () in parts
+             else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
         du += c * v
         df += c * (np.asarray(compiled.evaluate(z_np, parts)) - base)
     return du, df
@@ -627,18 +619,17 @@ def _parabolic_defect_x64(predictor, params, compiled, lb, ub, source_fn,
 
     # spatial-mode machinery: analytic partials of v over spatial coords,
     # τ-derivative identically zero (v is τ-independent)
-    spatial_meshes = [np.transpose(mesh[j], perm).reshape(-1, n_grid)[:, :1]
-                      for j in spatial]
+    z_sp = np.concatenate(
+        [np.transpose(mesh[j], perm).reshape(-1, n_grid)[:, :1]
+         for j in spatial], axis=1)          # [spatial_pts, n_spatial]
+    sp_lb = [lb[j] for j in spatial]
+    sp_ub = [ub[j] for j in spatial]
 
     def spatial_mode(m):
-        v = np.ones((r_sp.shape[0], 1))
-        for k_ax, j in enumerate(spatial):
-            w = m[k_ax] * np.pi / (ub[j] - lb[j])
-            v = v * np.sin(w * (spatial_meshes[k_ax] - lb[j]))
-        return v  # [spatial_pts, 1]
+        return _mode_value(np, z_sp, m, range(len(spatial)), sp_lb, sp_ub)
 
+    march_len = taus[-1] - taus[0]
     modes, series, rhs_series, mus = [], [], [], []
-    tau_scale = 1.0  # for overflow guard on anti-diffusive modes
     for m in itertools.product(*([range(1, max_mode + 1)]
                                  * len(spatial))):
         # μ_m from the full-grid AST evaluation with τ-parts zeroed
@@ -665,8 +656,12 @@ def _parabolic_defect_x64(predictor, params, compiled, lb, ub, source_fn,
         if float(np.sqrt(np.sum(resid * resid * Wsp) / n_grid)) / scale \
                 > diag_tol:
             continue
-        if mu / a * dt < -30.0:
-            continue                        # anti-diffusive blowup guard
+        if mu / a * march_len < -30.0:
+            # anti-diffusive blowup guard: the integrating factor grows by
+            # exp(-mu/a·(τ−s)) CUMULATIVELY over the march, so the bound
+            # must cover the whole interval, not one Δτ step — e³⁰ already
+            # means the correction is amplifying quadrature noise ~1e13×
+            continue
         v = spatial_mode(m)
         ip_v = float(np.sum(v[:, 0] ** 2 * wsp_flat))
         r_m = (r_sp * (v[:, 0] * wsp_flat)[:, None]).sum(0) / ip_v  # [nτ]
@@ -690,8 +685,11 @@ def _parabolic_defect_x64(predictor, params, compiled, lb, ub, source_fn,
 
 
 def _mode_partials_subset(mm, lb, ub, z, ix, spatial):
-    """Partial ∂_ix of Π_{j∈spatial} sin(mm_j π (z_j−lb_j)/L_j) — zero
-    whenever ix derives a non-spatial coordinate (v is constant there)."""
+    """Partial ∂_ix of Π_{j∈spatial} sin(mm_j π (z_j−lb_j)/L_j), counting
+    only the derivative orders taken along ``spatial`` coordinates —
+    callers must zero the entries for multi-indices that derive a
+    non-spatial coordinate (v is constant there, so the true partial
+    vanishes)."""
     import numpy as np
 
     cyc = (np.sin, np.cos, lambda t: -np.sin(t), lambda t: -np.cos(t))
@@ -733,6 +731,7 @@ def defect_correction(
     if hard_bc is None or coords is None:
         return None
 
+    kw.pop("band", None)  # mode="full" fixes the band; parabolic has none
     para = parabolic_defect(predictor, params, compiled, lb, ub,
                             source_fn=source_fn, **kw)
     free_faces = ()
@@ -751,22 +750,40 @@ def defect_correction(
 def _bubble_vanishes_on_faces(bubble_expr, coords, lb, ub, free_faces):
     """True iff the hard-BC bubble is ~0 on every box face except
     ``free_faces`` — the condition for the error to have homogeneous
-    Dirichlet data there (u = lift + bubble·N with exact lift)."""
+    Dirichlet data there (u = lift + bubble·N with exact lift).
+
+    Evaluated in float64 against a RELATIVE threshold (face max vs the
+    bubble's interior amplitude): an O(100)-amplitude bubble evaluated in
+    f32 leaves ~1e-5 roundoff on a true zero face, which an absolute
+    cutoff would misread as a violation and silently disable the
+    correction."""
     import numpy as np
 
     from tpinn.core import pde
+    from tpinn.utils.x64 import force_x64
 
     fn = pde.compile_coord_expr(bubble_expr, tuple(coords))
     dim = len(lb)
     rng = np.random.default_rng(0)
-    for j in range(dim):
-        for side in (0, 1):
-            if (j, side) in free_faces:
-                continue
-            z = rng.uniform(0, 1, (64, dim))
-            for k in range(dim):
-                z[:, k] = lb[k] + z[:, k] * (ub[k] - lb[k])
+
+    def sample(face=None):
+        z = rng.uniform(0, 1, (64, dim))
+        for k in range(dim):
+            z[:, k] = lb[k] + z[:, k] * (ub[k] - lb[k])
+        if face is not None:
+            j, side = face
             z[:, j] = (lb[j], ub[j])[side]
-            if float(np.abs(np.asarray(fn(z))).max()) > 1e-6:
-                return False
+        return z
+
+    with force_x64():
+        amp = float(np.abs(np.asarray(fn(sample()))).max())
+        amp = max(amp, 1e-30)
+        for j in range(dim):
+            for side in (0, 1):
+                if (j, side) in free_faces:
+                    continue
+                face_max = float(
+                    np.abs(np.asarray(fn(sample((j, side))))).max())
+                if face_max > 1e-8 * amp:
+                    return False
     return True

@@ -251,7 +251,9 @@ def attach_frozen_meta(frozen, predictor, params):
 # than the hand-stacked [S·B, W] formulation, which pays for its stream
 # (re)stacking.  The fused engine therefore stays opt-in (it is also the
 # reference implementation for the Pallas kernel, which avoids the
-# restacking cost entirely by staying in VMEM).
+# restacking cost entirely by staying in VMEM).  Re-measured round 3
+# (out/bench_details.json engines sweep, full training step): auto
+# 4.1M pts/s / kernel 3.9M / fused 3.6M — the default stands.
 PREFER_FUSED = False
 
 

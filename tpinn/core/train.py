@@ -20,8 +20,9 @@ Deviations from the reference, on purpose (documented per SURVEY §2b.14):
   the reference swaps them when unpacking the UI dict (software.py:712).
 - Problems without an analytic solution derive stage-2 scales from the
   residual RMS alone (the reference always has its hardcoded oracle).
-- L-BFGS history records one loss row per accepted iterate rather than per
-  function evaluation.
+- L-BFGS history cadence is selectable (TrainSpec.lbfgs_history): one row
+  per accepted iterate (default, compact) or per function evaluation (the
+  reference's cadence, software.py:485-488 — the app entry uses this).
 """
 
 from __future__ import annotations
@@ -625,6 +626,25 @@ def run_training(
                                           residual_weight_fn=rw_fn)
 
         loss_fn = build_loss(predictor, spec.engine)
+
+        def build_cpu_loss(pred, engine, wrapped):
+            """CPU-retry loss.  The Pallas-kernel loss bakes its
+            interpret/compile decision at BUILD time (taylor_vjp.
+            make_kernel_partials keys off jax.default_backend()), so a
+            kernel loss built on a TPU host cannot be re-dispatched under
+            jax.default_device(cpu) — Mosaic won't lower there.  CPU paths
+            rebuild on the exact autodiff engine instead (also the right
+            engine where there is no MXU); non-kernel losses are reused
+            as-is."""
+            if engine != "kernel" or jax.default_backend() == "cpu":
+                return wrapped
+            lf = build_loss(pred, "auto")
+            if mesh is not None:
+                from tpinn import parallel
+
+                lf = parallel.make_parallel_loss(lf, mesh)
+            return lf
+
         # Adam-phase loss: reduced-precision chain and/or different engine
         # (same params pytree); L-BFGS/eval/polish stay on loss_fn
         adam_engine = spec.adam_engine or spec.engine
@@ -783,12 +803,18 @@ def run_training(
                             f"unusable for the retry ({ce}); restarting")
                 if ckpt_cb is not None:
                     _last_saved[0] = retry_init[0] if retry_init else 0
+                retry_loss = build_cpu_loss(
+                    predictor_lo or predictor, adam_engine, loss_fn_adam)
+                retry_phase = (phase if retry_loss is loss_fn_adam
+                               else optim.make_adam_phase(
+                                   retry_loss, sample_fn, density_fn,
+                                   adam_cfg, info_width, adam_log))
                 cpu = jax.devices("cpu")[0]
                 with jax.default_device(cpu):
                     # keep checkpointing + mid-stage resume alive on the
                     # retry — a multi-hour CPU run is exactly where they
                     # matter most
-                    res = phase(
+                    res = retry_phase(
                         jax.device_put(key_adam, cpu),
                         jax.device_put(params, cpu),
                         jax.device_put(data0, cpu),
@@ -877,9 +903,10 @@ def run_training(
 
                 def _lbfgs_on_cpu():
                     cpu = jax.devices("cpu")[0]
+                    loss_cpu = build_cpu_loss(predictor, spec.engine, loss_fn)
                     with jax.default_device(cpu):
                         out = optim.lbfgs_over_pytree(
-                            loss_fn, jax.device_put(params, cpu),
+                            loss_cpu, jax.device_put(params, cpu),
                             jax.device_put(data_lbfgs, cpu),
                             jax.device_put(stage_lw_l, cpu),
                             jax.device_put(ref_l, cpu), lbfgs_cfg,
@@ -925,8 +952,10 @@ def run_training(
                     )
                 part = np.asarray(hist_lbfgs_full)[: int(n_rows)]
                 hist_parts.append(part)
+                unit = ("fn evaluations" if spec.lbfgs_history == "evals"
+                        else "accepted iterations")
                 log(f"stage {stage_no}: L-BFGS round {ri + 1}/{rounds} done "
-                    f"({int(n_rows) - 1} accepted iterations, "
+                    f"({int(n_rows) - 1} {unit}, "
                     f"final loss {part[-1, 0]:.4e})")
 
                 # --- exact last-layer least-squares polish (linear PDEs).
