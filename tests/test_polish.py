@@ -303,3 +303,71 @@ def test_full_defect_requires_vanishing_bubble():
     assert polish.defect_correction(
         pred, {}, compiled, (0.0, 0.0), (1.0, 1.0),
         hard_bc=None, mode="full", coords=("x", "y")) is None
+
+def test_parabolic_antidiffusive_guard_is_cumulative():
+    """A strongly anti-diffusive reaction term (u_t - u_xx - c*u with
+    c >> pi^2) makes the per-mode integrating factor GROW along the march;
+    the guard must bound cumulative growth over the whole interval, so
+    every such mode is dropped and any returned series stays finite."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_t - u_xx - 800*u", ("x", "t"))
+
+    def predictor(params, z):
+        x, t = z[:, 0:1], z[:, 1:2]
+        return (jnp.sin(jnp.pi * x) * (1 + 0.1 * t)
+                + 3e-4 * jnp.sin(2 * jnp.pi * x) * t)
+
+    defl = polish.parabolic_defect(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        n_grid=81, max_mode=6)
+    if defl is not None:
+        # modes with mu/a ~ pi^2 m^2 - 800 < -30 over a unit march must be
+        # gone; whatever survives must be finite (no exp overflow)
+        for m, mu in zip(defl["modes"], defl["mu"]):
+            assert mu / defl["a"] * 1.0 >= -30.0, (m, mu)
+        assert np.isfinite(np.asarray(defl["series"], dtype=float)).all()
+
+
+def test_bubble_face_check_is_relative():
+    """An O(100)-amplitude bubble evaluates to ~1e-5 f32 roundoff on a
+    true zero face; the f64 relative check must still accept it."""
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_xx + u_yy + 2*u", ("x", "y"))
+    pred = lambda p, z: jnp.zeros((z.shape[0], 1), z.dtype)
+    defl = polish.defect_correction(
+        pred, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=("0", "100*sin(pi*x)*y*(1 - y)"),
+        mode="full", coords=("x", "y"), n_grid=41, max_mode=3)
+    # zero residual -> no modes survive the projection, but the bubble
+    # check must NOT be the reason for rejection: a scaled copy of a
+    # valid bubble with a real planted error must be corrected
+    c_true = 2.7e-4
+
+    def pred2(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return c_true * jnp.sin(2 * jnp.pi * x) * jnp.sin(3 * jnp.pi * y)
+
+    defl2 = polish.defect_correction(
+        pred2, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=("0", "100*x*(1 - x)*y*(1 - y)"),
+        mode="full", coords=("x", "y"), n_grid=61, max_mode=6)
+    assert defl2 is not None, "large-amplitude bubble falsely rejected"
+
+
+def test_defect_correction_full_accepts_band_kwarg():
+    """The documented band knob must pass through mode='full' without a
+    TypeError (it is fixed to 'full' internally)."""
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_xx + u_yy + 2*u", ("x", "y"))
+    pred = lambda p, z: jnp.zeros((z.shape[0], 1), z.dtype)
+    polish.defect_correction(
+        pred, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=("0", "x*(1 - x)*y*(1 - y)"), mode="full",
+        coords=("x", "y"), n_grid=41, max_mode=3, band=0.5)
