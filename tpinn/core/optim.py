@@ -71,6 +71,10 @@ class AdamConfig:
     # tunneled v5e): the runtime hard-kills any single dispatch at 60s wall
     # ("TPU worker process crashed or restarted") — long phases must be
     # split into bounded dispatches.  2000 steps ≈ 8s at the flagship batch.
+    # The phase additionally CALIBRATES the actual per-step cost on its
+    # first two (short) dispatches and sizes the rest to a ~25s target, so
+    # wide/Fourier nets can't push a dispatch past the kill; max_chunk
+    # stays the hard cap.
     max_chunk: int = 2000
 
 
@@ -261,9 +265,34 @@ def make_adam_phase(
             # steps, at worst one extra compile shape
             if done:
                 chunks.append(jnp.asarray(hist0)[:done])
+        # --- adaptive dispatch sizing.  max_chunk was tuned on the
+        # flagship shape; a wide/Fourier net can push a fixed-size chunk
+        # past the runtime's 60s dispatch kill (observed: 4x192+ff96 at
+        # chunk 1000 ≈ 50-115s — the dispatch dies server-side and the
+        # client blocks forever on the fetch).  Calibrate on two short
+        # dispatches (the second is compile-cached, so its wall is pure
+        # run time) and size the remainder to a ~25s target; sizes stay
+        # multiples of the calibration length to bound recompiles.
+        import time as _time
+
+        target_s = 25.0
+        cal = max(1, min(2 * config.log_every, chunk))
+        n_disp = 0
         while done < config.epochs:
-            n = min(chunk, config.epochs - done)
+            calibrating = n_disp < 2 and chunk > cal
+            n = min(cal if calibrating else chunk, config.epochs - done)
+            t0 = _time.perf_counter()
             state, hist = run_chunk(state, lw, ref, jnp.int32(done), n)
+            if calibrating:
+                _np.asarray(hist[-1:])  # host fetch = real sync (the
+                # tunneled runtime ignores block_until_ready)
+                dt = _time.perf_counter() - t0
+                if n_disp == 1 and n == cal:
+                    per_step = max(dt / n, 1e-7)
+                    chunk = int(max(cal, min(
+                        config.max_chunk,
+                        target_s / per_step // cal * cal)))
+            n_disp += 1
             if log_fn is not None:
                 rows = _np.asarray(hist)
                 for k in range(n):
@@ -678,13 +707,35 @@ def lbfgs_minimize(
             )
         )
         s = state
-        it_target = min(config.chunk_iters, config.max_iters)
+        # adaptive dispatch sizing, same story as the Adam phase: per-
+        # iteration cost scales with net width × line-search evals, so a
+        # fixed chunk_iters tuned on the flagship shape can blow the
+        # runtime's 60s dispatch kill on wide nets.  Probe short, measure
+        # the second (compile-cached) dispatch, size the rest to ~25s.
+        # chunk_iters stays the hard cap; it_target is a dynamic arg, so
+        # resizing costs no recompile.
+        import time as _time
+
+        target_s = 25.0
+        probe = max(1, min(20, config.chunk_iters))
+        inc = probe
+        prev_it, n_disp = 0, 0
+        it_target = min(inc, config.max_iters)
         while True:
+            t0 = _time.perf_counter()
             s = advance(s, jnp.int32(it_target))
             # host sync on two scalars: chunk boundary + crash surfacing
-            if bool(s["done"]) or int(s["it"]) >= config.max_iters:
+            done_now, it_now = bool(s["done"]), int(s["it"])
+            dt = _time.perf_counter() - t0
+            if done_now or it_now >= config.max_iters:
                 break
-            it_target = min(it_target + config.chunk_iters, config.max_iters)
+            if n_disp == 1 and it_now > prev_it:
+                per_it = max(dt / (it_now - prev_it), 1e-7)
+                inc = int(max(probe, min(config.chunk_iters,
+                                         target_s / per_it)))
+            prev_it = it_now
+            n_disp += 1
+            it_target = min(it_now + inc, config.max_iters)
 
     converged = jnp.max(jnp.abs(s["g"])) <= config.tolerance
     return LBFGSResult(
