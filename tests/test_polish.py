@@ -371,3 +371,65 @@ def test_defect_correction_full_accepts_band_kwarg():
         pred, {}, compiled, (0.0, 0.0), (1.0, 1.0),
         hard_bc=("0", "x*(1 - x)*y*(1 - y)"), mode="full",
         coords=("x", "y"), n_grid=41, max_mode=3, band=0.5)
+
+def test_galerkin_defect_annulus_planted():
+    """Variable-coefficient operator (polar Laplace on the annulus, sine
+    modes NOT eigenmodes) with a periodic θ axis: the Galerkin solve must
+    recover a planted mixed-basis error from the residual alone —
+    the case the diagonal full-band path cannot serve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    two_pi = float(2 * np.pi)
+    compiled = pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt", ("r", "t"))
+    c1, c2 = 3.1e-4, -1.7e-4
+
+    def predictor(params, z):
+        r, t = z[:, 0:1], z[:, 1:2]
+        s = jnp.pi * (r - 0.1) / 0.9
+        return (jnp.log(r) / jnp.log(0.1)
+                + c1 * jnp.sin(s)
+                + c2 * jnp.sin(2 * s) * jnp.cos(t))
+
+    defl = polish.defect_correction(
+        predictor, {}, compiled, (0.1, 0.0), (1.0, two_pi),
+        hard_bc=("(1 - r)/0.9", "(r - 0.1)*(1 - r)"), mode="full",
+        coords=("r", "t"), n_grid=81, max_sin=6, max_fourier=3)
+    assert defl is not None and defl["kind"] == "galerkin"
+    got = {tuple(map(tuple, m)): c
+           for m, c in zip(defl["modes"], defl["coeffs"])}
+    assert got[(("sin", 1), ("one", 0))] == pytest.approx(c1, rel=0.02)
+    assert got[(("sin", 2), ("pcos", 1))] == pytest.approx(c2, rel=0.02)
+
+    # field adjustment and serving term agree with the planted error
+    rng = np.random.default_rng(3)
+    z = rng.uniform(0, 1, (300, 2))
+    z[:, 0] = 0.1 + 0.9 * z[:, 0]
+    z[:, 1] *= two_pi
+    du, _ = polish.deflation_fields(defl, compiled, z)
+    s = np.pi * (z[:, :1] - 0.1) / 0.9
+    g = c1 * np.sin(s) + c2 * np.sin(2 * s) * np.cos(z[:, 1:])
+    assert np.abs(du - g).max() < 0.05 * max(abs(c1), abs(c2))
+    term = polish.deflation_term(defl)
+    assert np.allclose(np.asarray(term(jnp.asarray(z))), du, atol=1e-6)
+
+
+def test_galerkin_defect_rejects_nonperiodic_axis():
+    """A predictor that is NOT periodic on the free axis must fail the
+    face certificate — a Fourier basis cannot carry its error."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    two_pi = float(2 * np.pi)
+    compiled = pde.compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt", ("r", "t"))
+
+    def predictor(params, z):
+        r, t = z[:, 0:1], z[:, 1:2]
+        return jnp.log(r) / jnp.log(0.1) + 1e-3 * t * (r - 0.1) * (1 - r)
+
+    assert polish.defect_correction(
+        predictor, {}, compiled, (0.1, 0.0), (1.0, two_pi),
+        hard_bc=("(1 - r)/0.9", "(r - 0.1)*(1 - r)"), mode="full",
+        coords=("r", "t"), n_grid=61, max_sin=4, max_fourier=2) is None

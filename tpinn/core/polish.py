@@ -300,6 +300,157 @@ def _mode_value(xp, z, m, axes, lb, ub):
     return v
 
 
+# --- mixed tensor basis (Galerkin correction) ------------------------------
+# Per-axis factor kinds: ("sin", m) = Dirichlet sine m·π/L (vanishes on both
+# faces); ("psin"/"pcos", n) = periodic Fourier pair at 2πn/L; ("one", 0) =
+# the periodic constant.  A mode is a tuple of one factor per coordinate.
+
+def _basis_value(xp, z, mode_desc, lb, ub):
+    """Order-0 value of a mixed-basis mode; numpy or jnp via ``xp``."""
+    v = xp.ones((z.shape[0], 1), z.dtype)
+    for j, (kind, n) in enumerate(mode_desc):
+        if kind == "one":
+            continue
+        L = ub[j] - lb[j]
+        w = (n * xp.pi / L) if kind == "sin" else (2 * n * xp.pi / L)
+        t = w * (z[:, j:j + 1] - lb[j])
+        v = v * (xp.cos(t) if kind == "pcos" else xp.sin(t))
+    return v
+
+
+def _basis_partials(mode_desc, lb, ub, z, indices):
+    """Analytic partials of a mixed-basis mode for the compiled equation's
+    multi-indices.  Host numpy, float64."""
+    import numpy as np
+
+    cyc_sin = (np.sin, np.cos, lambda a: -np.sin(a), lambda a: -np.cos(a))
+    cyc_cos = (np.cos, lambda a: -np.sin(a), lambda a: -np.cos(a), np.sin)
+    out = {}
+    for ix in indices:
+        val = np.ones((z.shape[0], 1))
+        for j, (kind, n) in enumerate(mode_desc):
+            order = sum(1 for jj in ix if jj == j)
+            if kind == "one":
+                if order:
+                    val = np.zeros((z.shape[0], 1))
+                continue
+            L = ub[j] - lb[j]
+            w = n * np.pi / L if kind == "sin" else 2 * n * np.pi / L
+            t = w * (z[:, j:j + 1] - lb[j])
+            cyc = cyc_cos if kind == "pcos" else cyc_sin
+            val = val * (w ** order) * cyc[order % 4](t)
+        out[ix] = val
+    return out
+
+
+def galerkin_defect(
+    predictor: Callable,
+    params,
+    compiled,
+    lb,
+    ub,
+    axis_kinds,
+    source_fn: Optional[Callable] = None,
+    n_grid: int = 161,
+    max_sin: int = 14,
+    max_fourier: int = 8,
+    drop_tol: float = 0.8,
+):
+    """Defect correction e ≈ argmin‖L(Σ c_i b_i) − r‖_W for a GENERAL
+    linear operator — no eigenmode structure required, unlike the diagonal
+    full-band path.  The basis is a tensor product of Dirichlet sines
+    (axes where the error carries zero boundary data) and a Fourier family
+    (axes where the solution ansatz is exactly periodic, e.g. the annulus
+    θ via net.PERIODIC features), and the coefficients come from one
+    weighted least-squares solve of the collocated residual — the
+    spectral analogue of the last-layer variable projection above.
+
+    Returns None when the operator is nonlinear, an axis kind is
+    unsupported, or the basis fails to absorb at least ``1 − drop_tol``
+    of the residual (the guard against overfitting projections with a
+    basis the error does not live in).
+
+    ``axis_kinds``: per-coordinate "dirichlet" | "periodic"."""
+    if not compiled.is_linear:
+        return None
+    dim = len(lb)
+    if dim not in (1, 2) or len(axis_kinds) != dim:
+        return None
+    if any(k not in ("dirichlet", "periodic") for k in axis_kinds):
+        return None
+    lb = [float(v) for v in lb]
+    ub = [float(v) for v in ub]
+
+    from tpinn.utils.x64 import force_x64
+
+    with force_x64():
+        return _galerkin_x64(predictor, params, compiled, lb, ub,
+                             list(axis_kinds), source_fn, n_grid,
+                             max_sin, max_fourier, drop_tol)
+
+
+def _galerkin_x64(predictor, params, compiled, lb, ub, axis_kinds,
+                  source_fn, n_grid, max_sin, max_fourier, drop_tol):
+    import itertools
+
+    import numpy as np
+
+    dim = len(lb)
+    axes_1d = []
+    for kind in axis_kinds:
+        if kind == "dirichlet":
+            axes_1d.append([("sin", m) for m in range(1, max_sin + 1)])
+        else:
+            fs = [("one", 0)]
+            for n1 in range(1, max_fourier + 1):
+                fs += [("pcos", n1), ("psin", n1)]
+            axes_1d.append(fs)
+    basis = [tuple(c) for c in itertools.product(*axes_1d)]
+    if not basis or len(basis) > 1200:
+        return None
+
+    axes = [np.linspace(lb[j], ub[j], n_grid) for j in range(dim)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    z = np.stack([g.ravel() for g in mesh], axis=1)
+    w1 = np.ones(n_grid)
+    w1[0] = w1[-1] = 0.5
+    W = w1
+    for _ in range(dim - 1):
+        W = np.multiply.outer(W, w1)
+    W = (W / W.sum()).ravel()
+    sw = np.sqrt(W)
+
+    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
+    base = np.asarray(compiled.evaluate(z, zeros))
+    r = _host_residual_f64(predictor, params, compiled, source_fn, z)
+
+    V = np.empty((z.shape[0], len(basis)))
+    LV = np.empty_like(V)
+    for i, b in enumerate(basis):
+        parts = _basis_partials(b, lb, ub, z, compiled.indices)
+        v = (parts[()] if () in parts
+             else _basis_value(np, z, b, lb, ub))
+        V[:, i] = v[:, 0]
+        LV[:, i] = (np.asarray(compiled.evaluate(z, parts)) - base)[:, 0]
+
+    A = LV * sw[:, None]
+    y = r[:, 0] * sw
+    c, *_ = np.linalg.lstsq(A, y, rcond=1e-10)
+    r0 = float(np.sqrt((y ** 2).sum()))
+    r1 = float(np.sqrt(((y - A @ c) ** 2).sum()))
+    if r0 <= 0.0 or r1 / r0 > drop_tol:
+        return None
+
+    keep = np.abs(c) > np.abs(c).max() * 1e-8
+    modes = [[list(f) for f in b] for b, k in zip(basis, keep) if k]
+    coeffs = [float(ci) for ci, k in zip(c, keep) if k]
+    if not modes:
+        return None
+    return {"kind": "galerkin", "modes": modes, "coeffs": coeffs,
+            "resid_drop": r1 / r0, "n_grid": n_grid,
+            "lb": lb, "ub": ub}
+
+
 def _host_residual_f64(predictor, params, compiled, source_fn, z_np):
     """Full residual of the trained predictor on a host grid, float64
     (same policy as train.eval_stage_f64: the measurement must be more
@@ -434,9 +585,23 @@ def deflation_term(defl: Dict) -> Callable:
     """jnp-traceable correction term T(z); the corrected predictor is
     u(z) − T(z).  Shared by training and serving rebuilds.  Handles both
     correction kinds: "modal" (Σ c_m v_m) and "parabolic"
-    (Σ e_m(τ)·v_m(x), the per-mode Duhamel series interpolated in τ)."""
+    (Σ e_m(τ)·v_m(x), the per-mode Duhamel series interpolated in τ) and
+    "galerkin" (Σ c_i b_i over the mixed sin/Fourier tensor basis)."""
     if defl.get("kind", "modal") == "parabolic":
         return _parabolic_term(defl)
+    if defl.get("kind", "modal") == "galerkin":
+        modes = [tuple((k, int(n)) for k, n in m) for m in defl["modes"]]
+        coeffs = [float(c) for c in defl["coeffs"]]
+        lb = [float(v) for v in defl["lb"]]
+        ub = [float(v) for v in defl["ub"]]
+
+        def term(z):
+            out = jnp.zeros((z.shape[0], 1), z.dtype)
+            for m, c in zip(modes, coeffs):
+                out = out + c * _basis_value(jnp, z, m, lb, ub)
+            return out
+
+        return term
     modes = [tuple(m) for m in defl["modes"]]
     coeffs = [float(c) for c in defl["coeffs"]]
     lb = [float(v) for v in defl["lb"]]
@@ -508,10 +673,17 @@ def _deflation_fields_x64(defl, compiled, z_np):
     du = np.zeros((z_np.shape[0], 1))
     df = np.zeros((z_np.shape[0], 1))
     dim = len(lb)
+    galerkin = defl.get("kind", "modal") == "galerkin"
     for m, c in zip(defl["modes"], defl["coeffs"]):
-        parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
-        v = (parts[()] if () in parts
-             else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
+        if galerkin:
+            m = tuple((k, int(n)) for k, n in m)
+            parts = _basis_partials(m, lb, ub, z_np, compiled.indices)
+            v = (parts[()] if () in parts
+                 else _basis_value(np, z_np, m, lb, ub))
+        else:
+            parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
+            v = (parts[()] if () in parts
+                 else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
         du += c * v
         df += c * (np.asarray(compiled.evaluate(z_np, parts)) - base)
     return du, df
@@ -720,9 +892,14 @@ def defect_correction(
     removes the modes no loss term can see).
     ``mode="full"``: exact defect correction e = L⁻¹r over the truncated
     spectrum — parabolic (Duhamel march) when the operator has a march
-    coordinate, elliptic full-band otherwise.  Requires the hard-BC
-    ansatz (the error must carry zero Dirichlet data on the constrained
-    faces); the bubble is CHECKED numerically on those faces."""
+    coordinate, diagonal elliptic full-band when the sine modes are
+    eigenmodes, and otherwise the GALERKIN least-squares solve
+    (:func:`galerkin_defect`), which also covers exactly-periodic axes
+    (net.PERIODIC feature embedding, e.g. the annulus θ) with a Fourier
+    family.  Requires the hard-BC ansatz on the Dirichlet faces; the
+    bubble is CHECKED numerically face by face, and candidate periodic
+    axes are verified by comparing predictor and residual on the two
+    faces."""
     if mode == "auto":
         return resonant_deflation(predictor, params, compiled, lb, ub,
                                   source_fn=source_fn, **kw)
@@ -732,25 +909,86 @@ def defect_correction(
         return None
 
     kw.pop("band", None)  # mode="full" fixes the band; parabolic has none
+    gal_kw = {k: kw.pop(k) for k in ("max_sin", "max_fourier", "drop_tol")
+              if k in kw}
+    if "n_grid" in kw:
+        gal_kw["n_grid"] = kw["n_grid"]
+    dim = len(lb)
+    vanish = _bubble_face_map(hard_bc[1], coords, lb, ub)
+
     para = parabolic_defect(predictor, params, compiled, lb, ub,
                             source_fn=source_fn, **kw)
-    free_faces = ()
     if para is not None:
         # initial-value march: the τ=ub face carries no error condition
-        free_faces = ((para["tau"], 1),)
-    if not _bubble_vanishes_on_faces(hard_bc[1], coords, lb, ub, free_faces):
-        return None
-    if para is not None:
-        return para
-    kw.setdefault("max_mode", 24)
-    return resonant_deflation(predictor, params, compiled, lb, ub,
-                              source_fn=source_fn, band="full", **kw)
+        free = {(para["tau"], 1)}
+        if all(vanish[(j, s)] for j in range(dim) for s in (0, 1)
+               if (j, s) not in free):
+            return para
+
+    if all(vanish.values()):
+        kw2 = dict(kw)
+        kw2.setdefault("max_mode", 24)
+        out = resonant_deflation(predictor, params, compiled, lb, ub,
+                                 source_fn=source_fn, band="full", **kw2)
+        if out is not None:
+            return out
+        # sine modes are not eigenmodes (variable coefficients): fall
+        # through to the non-diagonal Galerkin solve on the same basis
+        axis_kinds = ["dirichlet"] * dim
+    else:
+        axis_kinds = []
+        for j in range(dim):
+            v0, v1 = vanish[(j, 0)], vanish[(j, 1)]
+            if v0 and v1:
+                axis_kinds.append("dirichlet")
+            elif not v0 and not v1:
+                axis_kinds.append("periodic")
+            else:
+                return None     # one-sided free face: no basis family fits
+        per = [j for j, k in enumerate(axis_kinds) if k == "periodic"]
+        if not _axes_periodic(predictor, params, compiled, source_fn,
+                              lb, ub, per):
+            return None
+    return galerkin_defect(predictor, params, compiled, lb, ub, axis_kinds,
+                           source_fn=source_fn, **gal_kw)
 
 
-def _bubble_vanishes_on_faces(bubble_expr, coords, lb, ub, free_faces):
-    """True iff the hard-BC bubble is ~0 on every box face except
-    ``free_faces`` — the condition for the error to have homogeneous
-    Dirichlet data there (u = lift + bubble·N with exact lift).
+def _axes_periodic(predictor, params, compiled, source_fn, lb, ub, axes,
+                   n: int = 96):
+    """True iff predictor AND residual agree on the two faces of every
+    axis in ``axes`` (relative 1e-5) — the numerical certificate that the
+    solution ansatz is exactly periodic there (e.g. net.PERIODIC
+    features), so a Fourier basis represents the error."""
+    import numpy as np
+
+    if not axes:
+        return True
+    dim = len(lb)
+    rng = np.random.default_rng(0)
+    for j in axes:
+        z = rng.uniform(0, 1, (n, dim))
+        for k in range(dim):
+            z[:, k] = lb[k] + z[:, k] * (ub[k] - lb[k])
+        z0, z1 = z.copy(), z.copy()
+        z0[:, j] = lb[j]
+        z1[:, j] = ub[j]
+        u0 = np.asarray(predictor(params, jnp.asarray(z0)))
+        u1 = np.asarray(predictor(params, jnp.asarray(z1)))
+        scale = float(np.abs(u0).max()) + 1e-12
+        if float(np.abs(u0 - u1).max()) > 1e-5 * scale:
+            return False
+        r0 = _host_residual_f64(predictor, params, compiled, source_fn, z0)
+        r1 = _host_residual_f64(predictor, params, compiled, source_fn, z1)
+        rscale = float(np.abs(r0).max()) + 1e-30
+        if float(np.abs(r0 - r1).max()) > 1e-5 * rscale:
+            return False
+    return True
+
+
+def _bubble_face_map(bubble_expr, coords, lb, ub):
+    """``{(axis, side): bubble ~0 on that box face}`` — a vanishing face
+    means the error carries homogeneous Dirichlet data there (u = lift +
+    bubble·N with exact lift), so that face admits a sine basis.
 
     Evaluated in float64 against a RELATIVE threshold (face max vs the
     bubble's interior amplitude): an O(100)-amplitude bubble evaluated in
@@ -775,15 +1013,13 @@ def _bubble_vanishes_on_faces(bubble_expr, coords, lb, ub, free_faces):
             z[:, j] = (lb[j], ub[j])[side]
         return z
 
+    out = {}
     with force_x64():
         amp = float(np.abs(np.asarray(fn(sample()))).max())
         amp = max(amp, 1e-30)
         for j in range(dim):
             for side in (0, 1):
-                if (j, side) in free_faces:
-                    continue
                 face_max = float(
                     np.abs(np.asarray(fn(sample((j, side))))).max())
-                if face_max > 1e-8 * amp:
-                    return False
-    return True
+                out[(j, side)] = face_max <= 1e-8 * amp
+    return out
