@@ -433,3 +433,42 @@ def test_galerkin_defect_rejects_nonperiodic_axis():
         predictor, {}, compiled, (0.1, 0.0), (1.0, two_pi),
         hard_bc=("(1 - r)/0.9", "(r - 0.1)*(1 - r)"), mode="full",
         coords=("r", "t"), n_grid=61, max_sin=4, max_fourier=2) is None
+
+def test_galerkin_newton_defect_nonlinear_burgers():
+    """NONLINEAR operator (Burgers): the Galerkin solve linearizes the
+    residual at the trained solution (one Newton step) and must recover
+    a planted error with zero data at x=±1 and t=0 — march basis on the
+    initial-value axis.  u* = x/(1+t) solves u_t + u·u_x − ν·u_xx
+    exactly (u_xx = 0)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_t + u*u_x - 0.01*u_xx", ("x", "t"))
+    assert not compiled.is_linear
+    c_true = 4e-4
+
+    def predictor(params, z):
+        x, t = z[:, 0:1], z[:, 1:2]
+        g = (c_true * jnp.sin(jnp.pi * (x + 1) / 2)
+             * jnp.sin(jnp.pi * t / 2))
+        return x / (1 + t) + g
+
+    defl = polish.defect_correction(
+        predictor, {}, compiled, (-1.0, 0.0), (1.0, 1.0),
+        hard_bc=("x", "t*(1 - x**2)"), mode="full",
+        coords=("x", "t"), n_grid=61, max_sin=5)
+    assert defl is not None and defl["kind"] == "galerkin"
+    assert defl.get("linearized") is True
+    got = {tuple(map(tuple, m)): c
+           for m, c in zip(defl["modes"], defl["coeffs"])}
+    # Newton-step accuracy: exact to O(c_true) relative (quadratic term)
+    assert got[(("sin", 1), ("msin", 1))] == pytest.approx(c_true, rel=0.02)
+
+    z = np.random.default_rng(5).uniform(0, 1, (300, 2))
+    z[:, 0] = 2 * z[:, 0] - 1
+    du, df = polish.deflation_fields(defl, compiled, z)
+    assert df is None            # nonlinear: no affine field adjustment
+    g = (c_true * np.sin(np.pi * (z[:, :1] + 1) / 2)
+         * np.sin(np.pi * z[:, 1:] / 2))
+    assert np.abs(du - g).max() < 0.05 * c_true

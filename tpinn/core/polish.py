@@ -301,9 +301,23 @@ def _mode_value(xp, z, m, axes, lb, ub):
 
 
 # --- mixed tensor basis (Galerkin correction) ------------------------------
-# Per-axis factor kinds: ("sin", m) = Dirichlet sine m·π/L (vanishes on both
-# faces); ("psin"/"pcos", n) = periodic Fourier pair at 2πn/L; ("one", 0) =
-# the periodic constant.  A mode is a tuple of one factor per coordinate.
+# Per-axis factor kinds:
+#   ("sin", m)          Dirichlet sine m·π/L (vanishes on both faces)
+#   ("psin"/"pcos", n)  periodic Fourier pair at 2πn/L
+#   ("one", 0)          the periodic constant
+#   ("msin", m)         march sine (m−½)π/L of (z−lb): vanishes at the lb
+#                       face only (initial-value axes)
+#   ("msinr", m)        mirrored march sine of (ub−z): vanishes at ub only
+# A mode is a tuple of one factor per coordinate.
+
+
+def _factor_freq(kind, n, L, xp):
+    if kind == "sin":
+        return n * xp.pi / L
+    if kind in ("msin", "msinr"):
+        return (n - 0.5) * xp.pi / L
+    return 2 * n * xp.pi / L
+
 
 def _basis_value(xp, z, mode_desc, lb, ub):
     """Order-0 value of a mixed-basis mode; numpy or jnp via ``xp``."""
@@ -312,8 +326,10 @@ def _basis_value(xp, z, mode_desc, lb, ub):
         if kind == "one":
             continue
         L = ub[j] - lb[j]
-        w = (n * xp.pi / L) if kind == "sin" else (2 * n * xp.pi / L)
-        t = w * (z[:, j:j + 1] - lb[j])
+        w = _factor_freq(kind, n, L, xp)
+        arg = (ub[j] - z[:, j:j + 1]) if kind == "msinr" \
+            else (z[:, j:j + 1] - lb[j])
+        t = w * arg
         v = v * (xp.cos(t) if kind == "pcos" else xp.sin(t))
     return v
 
@@ -335,12 +351,40 @@ def _basis_partials(mode_desc, lb, ub, z, indices):
                     val = np.zeros((z.shape[0], 1))
                 continue
             L = ub[j] - lb[j]
-            w = n * np.pi / L if kind == "sin" else 2 * n * np.pi / L
-            t = w * (z[:, j:j + 1] - lb[j])
+            w = _factor_freq(kind, n, L, np)
+            if kind == "msinr":
+                # f = sin(w·(ub−z)): each ∂_z brings a factor −w
+                t = w * (ub[j] - z[:, j:j + 1])
+                sgn = (-1.0) ** order
+            else:
+                t = w * (z[:, j:j + 1] - lb[j])
+                sgn = 1.0
             cyc = cyc_cos if kind == "pcos" else cyc_sin
-            val = val * (w ** order) * cyc[order % 4](t)
+            val = val * sgn * (w ** order) * cyc[order % 4](t)
         out[ix] = val
     return out
+
+
+def _host_partials_f64(predictor, params, compiled, z_np):
+    """All u-partials of the trained predictor on a host grid, float64 —
+    the linearization point for the Newton–Galerkin correction."""
+    import numpy as np
+
+    from tpinn.utils.x64 import force_x64
+
+    cpu = jax.devices("cpu")[0]
+    with force_x64():
+        p64 = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a, jnp.float64), cpu),
+            params)
+        z64 = jax.device_put(jnp.asarray(z_np, jnp.float64), cpu)
+        with jax.default_device(cpu):
+            from tpinn.core import taylor
+
+            f = jax.jit(lambda p, zz: taylor.fast_partials(
+                predictor, p, zz, compiled.indices, compiled.max_order))
+            parts = f(p64, z64)
+    return {ix: np.asarray(v) for ix, v in parts.items()}
 
 
 def galerkin_defect(
@@ -365,18 +409,26 @@ def galerkin_defect(
     weighted least-squares solve of the collocated residual — the
     spectral analogue of the last-layer variable projection above.
 
-    Returns None when the operator is nonlinear, an axis kind is
-    unsupported, or the basis fails to absorb at least ``1 − drop_tol``
-    of the residual (the guard against overfitting projections with a
-    basis the error does not live in).
+    NONLINEAR operators are served too: the solve runs against the
+    FRÉCHET DERIVATIVE of the residual at the trained solution
+    (jax.linearize of the compiled AST — one Newton step in the error),
+    exact to O(‖e‖²); for linear operators the linearization IS the
+    operator and the path is identical.  One-sided axes (error pinned at
+    one face only, e.g. an initial-value t) use the (m−½)π march-sine
+    family.
 
-    ``axis_kinds``: per-coordinate "dirichlet" | "periodic"."""
-    if not compiled.is_linear:
-        return None
+    Returns None when an axis kind is unsupported or the basis fails to
+    absorb at least ``1 − drop_tol`` of the (linearized) residual — the
+    guard against overfitting projections with a basis the error does
+    not live in.
+
+    ``axis_kinds``: per-coordinate
+    "dirichlet" | "periodic" | "march_lb" | "march_ub"."""
     dim = len(lb)
     if dim not in (1, 2) or len(axis_kinds) != dim:
         return None
-    if any(k not in ("dirichlet", "periodic") for k in axis_kinds):
+    if any(k not in ("dirichlet", "periodic", "march_lb", "march_ub")
+           for k in axis_kinds):
         return None
     lb = [float(v) for v in lb]
     ub = [float(v) for v in ub]
@@ -400,6 +452,10 @@ def _galerkin_x64(predictor, params, compiled, lb, ub, axis_kinds,
     for kind in axis_kinds:
         if kind == "dirichlet":
             axes_1d.append([("sin", m) for m in range(1, max_sin + 1)])
+        elif kind == "march_lb":
+            axes_1d.append([("msin", m) for m in range(1, max_sin + 1)])
+        elif kind == "march_ub":
+            axes_1d.append([("msinr", m) for m in range(1, max_sin + 1)])
         else:
             fs = [("one", 0)]
             for n1 in range(1, max_fourier + 1):
@@ -420,18 +476,31 @@ def _galerkin_x64(predictor, params, compiled, lb, ub, axis_kinds,
     W = (W / W.sum()).ravel()
     sw = np.sqrt(W)
 
-    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
-    base = np.asarray(compiled.evaluate(z, zeros))
-    r = _host_residual_f64(predictor, params, compiled, source_fn, z)
+    # linearization point: the trained solution's partial fields.  For a
+    # linear operator jax.linearize reproduces the operator exactly; for
+    # a nonlinear one it is the Fréchet derivative — one Newton step.
+    parts0_np = _host_partials_f64(predictor, params, compiled, z)
+    parts0 = {ix: jnp.asarray(v) for ix, v in parts0_np.items()}
+    # the engine may return byproduct indices beyond compiled.indices;
+    # tangents must match parts0's pytree structure exactly
+    tangent_keys = frozenset(parts0_np.keys())
+    z_j = jnp.asarray(z)
+    base_r, lin = jax.linearize(
+        lambda parts: compiled.evaluate(z_j, parts), parts0)
+    lin = jax.jit(lin)
+    r = np.asarray(base_r)
+    if source_fn is not None:
+        r = r - np.asarray(source_fn(z_j))
 
     V = np.empty((z.shape[0], len(basis)))
     LV = np.empty_like(V)
     for i, b in enumerate(basis):
-        parts = _basis_partials(b, lb, ub, z, compiled.indices)
+        parts = _basis_partials(b, lb, ub, z, tangent_keys)
         v = (parts[()] if () in parts
              else _basis_value(np, z, b, lb, ub))
         V[:, i] = v[:, 0]
-        LV[:, i] = (np.asarray(compiled.evaluate(z, parts)) - base)[:, 0]
+        tangent = {ix: jnp.asarray(parts[ix]) for ix in parts}
+        LV[:, i] = np.asarray(lin(tangent))[:, 0]
 
     A = LV * sw[:, None]
     y = r[:, 0] * sw
@@ -448,6 +517,7 @@ def _galerkin_x64(predictor, params, compiled, lb, ub, axis_kinds,
         return None
     return {"kind": "galerkin", "modes": modes, "coeffs": coeffs,
             "resid_drop": r1 / r0, "n_grid": n_grid,
+            "linearized": not compiled.is_linear,
             "lb": lb, "ub": ub}
 
 
@@ -642,7 +712,12 @@ def deflation_fields(defl: Dict, compiled, z_np):
     evaluation grid, host numpy — so callers can adjust already-computed
     u/residual fields without re-running the network.  For the parabolic
     kind, L(correction) = Σ_m r_m(τ)v_m(x) by construction (the Duhamel
-    series solves a·e' + μe = r_m exactly), so df uses the stored rhs."""
+    series solves a·e' + μe = r_m exactly), so df uses the stored rhs.
+
+    For a NONLINEAR galerkin correction (``defl["linearized"]``) df is
+    returned as None: the residual is not affine in the correction, so
+    field adjustment cannot be exact — recompute the corrected
+    predictor's residual instead (train.py does)."""
     import numpy as np
 
     if defl.get("kind", "modal") == "parabolic":
@@ -674,19 +749,24 @@ def _deflation_fields_x64(defl, compiled, z_np):
     df = np.zeros((z_np.shape[0], 1))
     dim = len(lb)
     galerkin = defl.get("kind", "modal") == "galerkin"
+    linearized = bool(defl.get("linearized"))
     for m, c in zip(defl["modes"], defl["coeffs"]):
         if galerkin:
             m = tuple((k, int(n)) for k, n in m)
             parts = _basis_partials(m, lb, ub, z_np, compiled.indices)
             v = (parts[()] if () in parts
                  else _basis_value(np, z_np, m, lb, ub))
-        else:
-            parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
-            v = (parts[()] if () in parts
-                 else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
+            du += c * v
+            if not linearized:
+                base2 = np.asarray(compiled.evaluate(z_np, parts))
+                df += c * (base2 - base)
+            continue
+        parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
+        v = (parts[()] if () in parts
+             else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
         du += c * v
         df += c * (np.asarray(compiled.evaluate(z_np, parts)) - base)
-    return du, df
+    return du, (None if linearized else df)
 
 
 def parabolic_defect(
@@ -943,8 +1023,10 @@ def defect_correction(
                 axis_kinds.append("dirichlet")
             elif not v0 and not v1:
                 axis_kinds.append("periodic")
+            elif v0:
+                axis_kinds.append("march_lb")   # initial-value axis
             else:
-                return None     # one-sided free face: no basis family fits
+                axis_kinds.append("march_ub")
         per = [j for j, k in enumerate(axis_kinds) if k == "periodic"]
         if not _axes_periodic(predictor, params, compiled, source_fn,
                               lb, ub, per):

@@ -209,10 +209,14 @@ class TrainSpec:
     # band (Poisson c₀=0) or isn't sine-diagonal (heat's ∂t).
     # "full" — exact defect correction e = L⁻¹r over the truncated
     # spectrum, valid when the error carries zero Dirichlet data (hard-BC
-    # ansatz; the bubble is checked numerically on the constrained faces):
-    # elliptic full-band inversion, or the per-mode Duhamel march for
-    # parabolic operators (heat).  Offline on committed runs: poisson_2d
-    # 6.8×, heat 3.4×.
+    # ansatz; the bubble is checked numerically face by face): elliptic
+    # full-band inversion, the per-mode Duhamel march for parabolic
+    # operators (heat), or the GALERKIN least-squares solve for operators
+    # whose sine modes are not eigenmodes (annulus polar Laplace; Fourier
+    # family on certified-periodic axes, (m−½)π march sines on
+    # initial-value axes) — and, via jax.linearize, one Newton step for
+    # NONLINEAR equations (Burgers).  Offline on committed runs:
+    # poisson_2d 6.8×, heat tS 4.5×, annulus eM 9.9×.
     deflation: str = "off"
     # Derivative-engine selection for the loss residual (loss.make_loss):
     # "auto" | "generic" | "fused" | "kernel".  "generic" builds a
@@ -1010,7 +1014,10 @@ def run_training(
         # --- spectral error correction (final stage only; see TrainSpec)
         defl = None
         if (si == len(spec.stages) - 1 and spec.deflation != "off"
-                and compiled_st.is_linear):
+                and (compiled_st.is_linear or spec.deflation == "full")):
+            # nonlinear operators are admitted on "full" only: the
+            # Galerkin path linearizes the residual (one Newton step in
+            # the error); "auto" deflation stays linear-only
             from tpinn.core import polish as polish_mod
 
             defl = polish_mod.defect_correction(
@@ -1022,10 +1029,20 @@ def run_training(
                 du, df = polish_mod.deflation_fields(defl, compiled_st,
                                                      np.asarray(X_star))
                 u_star = u_star - du
-                f_star = f_star - df
                 term = polish_mod.deflation_term(defl)
                 raw = frozen
                 frozen = lambda z, _raw=raw, _t=term: _raw(z) - _t(z)
+                if df is None:
+                    # nonlinear: the residual is not affine in the
+                    # correction — recompute it from the corrected
+                    # predictor instead of adjusting the field
+                    pred_corr = (lambda p, z, _p=predictor, _t=term:
+                                 _p(p, z) - _t(z))
+                    _, f_star, _ = eval_stage_f64(
+                        pred_corr, params, X_star, compiled_st,
+                        source_fn, None)
+                else:
+                    f_star = f_star - df
                 log(f"stage {stage_no}: spectral correction "
                     f"({defl['kind']}) removed {len(defl['modes'])} modes, "
                     f"|du|_rms {float(np.sqrt((du**2).mean())):.3e}")
