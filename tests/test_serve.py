@@ -147,3 +147,41 @@ def test_server_hard_bc_chain(tmp_path):
     # residual endpoint works through the wrapped predictor
     f = srv.residual([[0.55, 1.0]])
     assert np.isfinite(f[0])
+
+
+def test_server_rebuilds_deflation_term(tmp_path):
+    """A checkpoint carrying a deflation correction (galerkin kind, the
+    round-3 Newton–Galerkin path) must serve the CORRECTED predictor:
+    u_served = u_raw − T(z), with T rebuilt from the JSON meta alone."""
+    from tpinn.app.serve import PINNServer
+    from tpinn.core import polish
+
+    fm = net.feature_map_for(("minmax", "periodic"))
+    spec = net.MLPSpec(depth=2, width=16)
+    params = net.init_params(jax.random.PRNGKey(1), spec, fm)
+    two_pi = float(2 * np.pi)
+    defl = {"kind": "galerkin",
+            "modes": [[["sin", 1], ["one", 0]],
+                      [["sin", 2], ["pcos", 1]],
+                      [["sin", 1], ["psin", 2]]],
+            "coeffs": [3e-4, -2e-4, 1e-4],
+            "linearized": False,
+            "lb": [0.1, 0.0], "ub": [1.0, two_pi]}
+    path = tmp_path / "params_stage_1.npz"
+    checkpoint.save_pytree(
+        path, params,
+        meta={"stage": 1, "scl": 1.0, "epsil": 1.0,
+              "problem": "annulus_laplace",
+              "chain": [net.spec_to_dict(spec)],
+              "deflation": defl})
+
+    srv = PINNServer(str(path), "annulus_laplace")
+    pts = np.array([[0.5, 0.3], [0.7, 4.9], [0.2, 1.1]], np.float32)
+    served = np.asarray(srv.predict(pts.tolist()))
+
+    predictor = net.make_predictor(spec, fm, jnp.array([0.1, 0.0]),
+                                   jnp.array([1.0, two_pi]))
+    raw = np.asarray(predictor(params, jnp.asarray(pts)))[:, 0]
+    term = np.asarray(polish.deflation_term(defl)(jnp.asarray(pts)))[:, 0]
+    np.testing.assert_allclose(served, raw - term, rtol=1e-5, atol=1e-7)
+    assert np.abs(term).max() > 1e-5   # the term is actually non-trivial
