@@ -76,6 +76,7 @@ def main():
         tuple(meta["hard_bc"]) if meta.get("hard_bc") else None,
         mode=args.mode, source_fn=source_fn,
         coords=tuple(meta.get("coords", problem.coords)),
+        bc_groups=problem.bc_groups,
         n_grid=args.n_grid)
     if defl is None:
         print(json.dumps({"problem": args.problem, "rel_l2": rel0,

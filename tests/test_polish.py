@@ -472,3 +472,45 @@ def test_galerkin_newton_defect_nonlinear_burgers():
     g = (c_true * np.sin(np.pi * (z[:, :1] + 1) / 2)
          * np.sin(np.pi * z[:, 1:] / 2))
     assert np.abs(du - g).max() < 0.05 * c_true
+
+def test_soft_defect_recovers_boundary_carrying_error():
+    """Soft-BC correction: a planted smooth error with NONZERO boundary
+    trace is determined by residual rows + known boundary data (e = u − g
+    on the Dirichlet groups) in the Chebyshev basis — the case every
+    hard-BC family must reject."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish, sample
+
+    # L = Δ + 30 with the manufactured source for u* = sin(πx)sin(πy)
+    compiled = pde.compile_pde(
+        "u_xx + u_yy + 30*u - (30 - 2*pi**2)*sin(pi*x)*sin(pi*y)",
+        ("x", "y"))
+
+    def err(x, y, xp):
+        return 5e-4 * (x * x * y + 0.5 * xp.cos(2 * y) * x - 0.3)
+
+    def predictor(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) + err(x, y, jnp)
+
+    groups = (
+        sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+        sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
+        sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0), value=0.0),
+    )
+    defl = polish.defect_correction(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=None, mode="full", coords=("x", "y"),
+        bc_groups=groups, n_grid=61, degree=10)
+    assert defl is not None and defl.get("soft") is True
+
+    z = np.random.default_rng(7).uniform(0, 1, (400, 2))
+    du, df = polish.deflation_fields(defl, compiled, z)
+    g = err(z[:, :1], z[:, 1:], np)
+    scale = np.abs(g).max()
+    assert np.abs(du - g).max() < 0.03 * scale
+    # serving term matches the field adjustment
+    term = polish.deflation_term(defl)
+    assert np.allclose(np.asarray(term(jnp.asarray(z))), du, atol=1e-6)

@@ -1024,6 +1024,7 @@ def run_training(
                 predictor, params, compiled_st, problem.lb, problem.ub,
                 problem.hard_bc, mode=spec.deflation,
                 source_fn=source_fn, coords=problem.coords,
+                bc_groups=problem.bc_groups,
             )
             if defl is not None:
                 du, df = polish_mod.deflation_fields(defl, compiled_st,
