@@ -226,6 +226,29 @@ def main():
                         "(TrainSpec.adam_precision in production runs)")
     args = p.parse_args()
 
+    # Backend liveness probe in a SUBPROCESS with a hard timeout: a wedged
+    # tunnel worker (observed round 3: a >60s dispatch killed server-side
+    # left the backend UNAVAILABLE and clients blocking forever in init)
+    # must produce an honest failure line, not hang the driver.
+    if os.environ.get("TPINN_BENCH_SKIP_PROBE") != "1":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((128, 128)); print('ok', float((x @ x).sum()))"],
+                capture_output=True, text=True, timeout=300,
+            )
+            alive = "ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            alive = False
+        if not alive:
+            print(json.dumps({
+                "metric": "train_points_per_sec", "value": 0.0,
+                "unit": "pts/s", "vs_baseline": 0.0,
+                "error": "accelerator backend unavailable (probe failed)",
+            }))
+            return
+
     _enable_compile_cache()
     import jax
 
