@@ -251,3 +251,25 @@ def test_expression_bc_through_ui_schema(tmp_path):
     mgr.get(sid).thread.join(timeout=600)
     st = mgr.status(sid)
     assert st["status"] == "done", (st["error"], st["log"][-800:])
+
+
+def test_training_request_options_whitelist():
+    """Round-3 advanced options: whitelisted keys validate; junk rejects."""
+    from tpinn.app.controller import TrainingRequest
+
+    base = dict(
+        equation="u_xx + u_yy",
+        boundary={"bd_x1_min": 0.0, "bd_x1_max": 0.0, "bd_y1_min": 0.0,
+                  "bd_y1_max": 1.0, "bd_u1": 0.0},
+        domain={"x_min": 0.0, "x_max": 1.0, "y_min": 0.0, "y_max": 1.0},
+    )
+    ok = TrainingRequest(**base, options={"deflation": "full",
+                                          "lsq_polish": "auto",
+                                          "lbfgs_rounds": 3})
+    assert ok.validate() is None
+    bad_val = TrainingRequest(**base, options={"deflation": "sometimes"})
+    assert "deflation" in bad_val.validate()
+    bad_key = TrainingRequest(**base, options={"rm_rf": "/"})
+    assert "unknown option" in bad_key.validate()
+    bad_num = TrainingRequest(**base, options={"lr_min": "tiny"})
+    assert "numeric" in bad_num.validate()

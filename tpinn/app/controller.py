@@ -45,6 +45,17 @@ class TrainingRequest:
     testing_size: dict = field(default_factory=lambda: {"x": 111, "y": 111})
     epochs: dict = field(default_factory=lambda: {"adam": 1000, "lbfgs": 1000})
     equation_weight: dict = field(default_factory=lambda: {"f": 0.05, "df": 0})
+    # round-3 extension beyond the reference schema: whitelisted advanced
+    # knobs (train.run_pinn_training options passthrough)
+    options: dict = field(default_factory=dict)
+
+    _OPTION_CHOICES = {
+        "deflation": ("off", "auto", "full"),
+        "lsq_polish": ("off", "auto", "on"),
+        "adam_precision": ("highest", "high", "default"),
+        "adam_engine": ("auto", "generic", "fused", "kernel"),
+    }
+    _OPTION_NUMERIC = ("lr_min", "lbfgs_rounds", "lbfgs_grid")
 
     def validate(self) -> Optional[str]:
         """Return an error message, or None if the request is well-formed."""
@@ -79,6 +90,18 @@ class TrainingRequest:
                 return "y_max must exceed y_min"
         except (KeyError, TypeError, ValueError) as e:
             return f"bad request field: {e}"
+        for k, v in (self.options or {}).items():
+            if k in self._OPTION_CHOICES:
+                if v not in self._OPTION_CHOICES[k]:
+                    return (f"option {k} must be one of "
+                            f"{self._OPTION_CHOICES[k]}, got {v!r}")
+            elif k in self._OPTION_NUMERIC:
+                try:
+                    float(v)
+                except (TypeError, ValueError):
+                    return f"option {k} must be numeric, got {v!r}"
+            else:
+                return f"unknown option: {k}"
         return None
 
 
@@ -148,6 +171,7 @@ class SessionManager:
                     testing_size=request.testing_size,
                     epochs=request.epochs,
                     equation_weight=request.equation_weight,
+                    options=request.options,
                     output_dir=str(out_dir),
                     log_fn=state.log.append,
                 )

@@ -89,6 +89,10 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
   <div><label>L-BFGS epochs</label><input id="lbfgs" value="1000"></div></div>
   <div class="row"><div><label>Weight f</label><input id="wf" value="0.05"></div>
   <div><label>Weight df</label><input id="wdf" value="0"></div></div>
+  <div class="row"><div><label>LSQ polish</label>
+   <select id="lsq_polish"><option>off</option><option>auto</option><option>on</option></select></div>
+  <div><label>Defect correction</label>
+   <select id="deflation"><option>off</option><option>auto</option><option>full</option></select></div></div>
   <div style="margin-top:10px"><button id="start" onclick="start()">Start Training</button></div>
  </div>
  <div class="card"><h3>Training log</h3><div id="log"></div></div>
@@ -161,6 +165,8 @@ async function loadPreset(){
  if(p.train){
   for(const k of ["n_col","n_bd","n_add","depth","width","adam","lbfgs","wf","wdf"])
    document.getElementById(k).value = p.train[k];
+  for(const k of ["lsq_polish","deflation"])
+   if(p.train[k]) document.getElementById(k).value = p.train[k];
   document.getElementById("recipenote").textContent = p.train.note;
  } else document.getElementById("recipenote").textContent = "";
  eqInput.dispatchEvent(new Event("input"));
@@ -214,7 +220,8 @@ async function start(){
   network_size:{depth:+g("depth"),width:+g("width")},
   testing_size:{x:+g("tx"),y:+g("ty")},
   epochs:{adam:+g("adam"),lbfgs:+g("lbfgs")},
-  equation_weight:{f:+g("wf"),df:+g("wdf")}};
+  equation_weight:{f:+g("wf"),df:+g("wdf")},
+  options:{lsq_polish:g("lsq_polish"),deflation:g("deflation")}};
  const r = await fetch("/api/start",{method:"POST",body:JSON.stringify(req)});
  const d = await r.json();
  if(d.error){ alert(d.error); return; }

@@ -64,6 +64,8 @@ def _recipe_train_fields(name: str) -> Dict | None:
         "depth": s1.width, "width": s1.depth,
         "adam": s1.adam_epochs, "lbfgs": s1.lbfgs_epochs,
         "wf": rec.spec.lw[0], "wdf": rec.spec.lw[1],
+        "lsq_polish": rec.spec.lsq_polish,
+        "deflation": rec.spec.deflation,
         "note": (f"Recipe prefilled (run {rec.run_tag}, "
                  f"{rec.expected_rel_l2:.1e} rel-L2 on TPU). Full recipe "
                  f"incl. VP polish/curriculum: python -m tpinn train "

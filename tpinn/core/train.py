@@ -1230,6 +1230,7 @@ def run_pinn_training(
     exact: Optional[Callable] = "auto",
     log_fn: Optional[Callable] = None,
     dtype: str = "float32",
+    options: Optional[dict] = None,
 ) -> TrainResult:
     """Drop-in for the reference's public entry (software.py:626-638):
     same kwarg schema (the Dash callback maps 1:1, training.py:93-105) —
@@ -1310,6 +1311,20 @@ def run_pinn_training(
     # stage-1 scl/epsil from the UI
     s1 = replace(spec.stages[0], scl=float(scl), epsil=float(epsil))
     spec = replace(spec, stages=(s1, spec.stages[1]))
+
+    # advanced options (round-3 UI extension beyond the reference schema):
+    # whitelisted TrainSpec / per-stage overrides
+    if options:
+        spec_keys = {k: options[k] for k in
+                     ("deflation", "lsq_polish", "adam_precision",
+                      "adam_engine", "lr_min") if k in options}
+        if spec_keys:
+            spec = replace(spec, **spec_keys)
+        st_keys = {k: int(options[k]) for k in ("lbfgs_rounds", "lbfgs_grid")
+                   if k in options}
+        if st_keys:
+            spec = replace(spec, stages=tuple(
+                replace(s, **st_keys) for s in spec.stages))
 
     return run_training(problem, spec, output_dir=output_dir, log_fn=log_fn,
                         print_log=log_fn is None)
