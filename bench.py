@@ -231,17 +231,10 @@ def main():
     # left the backend UNAVAILABLE and clients blocking forever in init)
     # must produce an honest failure line, not hang the driver.
     if os.environ.get("TPINN_BENCH_SKIP_PROBE") != "1":
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "x = jnp.ones((128, 128)); print('ok', float((x @ x).sum()))"],
-                capture_output=True, text=True, timeout=300,
-            )
-            alive = "ok" in probe.stdout
-        except subprocess.TimeoutExpired:
-            alive = False
-        if not alive:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tpinn.utils.backendprobe import probe_backend
+
+        if not probe_backend():
             print(json.dumps({
                 "metric": "train_points_per_sec", "value": 0.0,
                 "unit": "pts/s", "vs_baseline": 0.0,

@@ -164,20 +164,11 @@ def main():
         # Fail fast (EX_TEMPFAIL) on a wedged accelerator backend instead
         # of burning the queue arm's whole timeout: backend init blocks
         # forever when the tunnel worker is down (observed round 3).
-        import subprocess
         import sys as _sys
 
-        try:
-            probe = subprocess.run(
-                [_sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "x = jnp.ones((128, 128)); print('ok', float((x@x).sum()))"],
-                capture_output=True, text=True, timeout=300,
-            )
-            alive = "ok" in probe.stdout
-        except subprocess.TimeoutExpired:
-            alive = False
-        if not alive:
+        from tpinn.utils.backendprobe import probe_backend
+
+        if not probe_backend(platform=args.platform):
             print("accelerator backend unavailable (probe failed); "
                   "aborting before training", file=_sys.stderr)
             raise SystemExit(75)        # EX_TEMPFAIL

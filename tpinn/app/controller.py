@@ -46,16 +46,9 @@ class TrainingRequest:
     epochs: dict = field(default_factory=lambda: {"adam": 1000, "lbfgs": 1000})
     equation_weight: dict = field(default_factory=lambda: {"f": 0.05, "df": 0})
     # round-3 extension beyond the reference schema: whitelisted advanced
-    # knobs (train.run_pinn_training options passthrough)
+    # knobs (train.run_pinn_training options passthrough; the key/value
+    # rules live in ONE place — train.UI_OPTION_SPEC/coerce_ui_option)
     options: dict = field(default_factory=dict)
-
-    _OPTION_CHOICES = {
-        "deflation": ("off", "auto", "full"),
-        "lsq_polish": ("off", "auto", "on"),
-        "adam_precision": ("highest", "high", "default"),
-        "adam_engine": ("auto", "generic", "fused", "kernel"),
-    }
-    _OPTION_NUMERIC = ("lr_min", "lbfgs_rounds", "lbfgs_grid")
 
     def validate(self) -> Optional[str]:
         """Return an error message, or None if the request is well-formed."""
@@ -90,18 +83,17 @@ class TrainingRequest:
                 return "y_max must exceed y_min"
         except (KeyError, TypeError, ValueError) as e:
             return f"bad request field: {e}"
+        if self.options and not isinstance(self.options, dict):
+            return "options must be an object"
+        from tpinn.core.train import coerce_ui_option
+
         for k, v in (self.options or {}).items():
-            if k in self._OPTION_CHOICES:
-                if v not in self._OPTION_CHOICES[k]:
-                    return (f"option {k} must be one of "
-                            f"{self._OPTION_CHOICES[k]}, got {v!r}")
-            elif k in self._OPTION_NUMERIC:
-                try:
-                    float(v)
-                except (TypeError, ValueError):
-                    return f"option {k} must be numeric, got {v!r}"
-            else:
+            try:
+                coerce_ui_option(k, v)
+            except KeyError:
                 return f"unknown option: {k}"
+            except (TypeError, ValueError) as e:
+                return str(e) if str(e) else f"bad option {k}: {v!r}"
         return None
 
 

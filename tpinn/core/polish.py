@@ -470,9 +470,9 @@ def galerkin_defect(
 
 def _linearized_system(predictor, params, compiled, lb, ub, z, basis,
                        source_fn):
-    """(V, LV, r): basis values, the linearized operator's action on each
-    basis mode, and the residual at the trained solution — the shared
-    assembly for the hard-BC Galerkin and soft-BC Chebyshev solves.
+    """(LV, r): the linearized operator's action on each basis mode and
+    the residual at the trained solution — the shared assembly for the
+    hard-BC Galerkin and soft-BC Chebyshev solves.
 
     Linearization point: the trained solution's partial fields.  For a
     linear operator jax.linearize reproduces the operator exactly; for a
@@ -492,16 +492,12 @@ def _linearized_system(predictor, params, compiled, lb, ub, z, basis,
     if source_fn is not None:
         r = r - np.asarray(source_fn(z_j))
 
-    V = np.empty((z.shape[0], len(basis)))
-    LV = np.empty_like(V)
+    LV = np.empty((z.shape[0], len(basis)))
     for i, b in enumerate(basis):
         parts = _basis_partials(b, lb, ub, z, tangent_keys)
-        v = (parts[()] if () in parts
-             else _basis_value(np, z, b, lb, ub))
-        V[:, i] = v[:, 0]
         tangent = {ix: jnp.asarray(parts[ix]) for ix in parts}
         LV[:, i] = np.asarray(lin(tangent))[:, 0]
-    return V, LV, r
+    return LV, r
 
 
 def _box_quadrature(lb, ub, n_grid):
@@ -547,8 +543,8 @@ def _galerkin_x64(predictor, params, compiled, lb, ub, axis_kinds,
     z, W = _box_quadrature(lb, ub, n_grid)
     sw = np.sqrt(W)
 
-    V, LV, r = _linearized_system(predictor, params, compiled, lb, ub,
-                                  z, basis, source_fn)
+    LV, r = _linearized_system(predictor, params, compiled, lb, ub,
+                               z, basis, source_fn)
 
     A = LV * sw[:, None]
     y = r[:, 0] * sw
@@ -782,8 +778,8 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
 
     z, W = _box_quadrature(lb, ub, n_grid)
     sw = np.sqrt(W)
-    V, LV, r = _linearized_system(predictor, params, compiled, lb, ub,
-                                  z, basis, source_fn)
+    LV, r = _linearized_system(predictor, params, compiled, lb, ub,
+                               z, basis, source_fn)
 
     # boundary trace rows: e = u − g on each Dirichlet group
     rng = np.random.default_rng(0)

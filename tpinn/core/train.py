@@ -1213,6 +1213,49 @@ def _write_stage_artifacts(out, stage_no, problem, spec, axes, U, F,
 # ---------------------------------------------------------------------------
 
 
+# Whitelisted "advanced options" the UI may pass to run_pinn_training —
+# the single source of truth shared with the controller's validation
+# (tpinn.app.controller.TrainingRequest).  Values are either a tuple of
+# allowed choices or a coercion type (int = must be integral).
+UI_OPTION_SPEC = {
+    "deflation": ("off", "auto", "full"),
+    "lsq_polish": ("off", "auto", "on"),
+    "adam_precision": ("highest", "high", "default"),
+    "adam_engine": ("auto", "generic", "fused", "kernel"),
+    "lr_min": float,
+    "lbfgs_rounds": int,
+    "lbfgs_grid": int,
+}
+_UI_STAGE_OPTIONS = frozenset({"lbfgs_rounds", "lbfgs_grid"})
+
+
+def coerce_ui_option(key: str, value):
+    """Validate + coerce one UI option against UI_OPTION_SPEC.
+
+    Raises KeyError for unknown keys and ValueError for bad values (a
+    non-integral number for an int option, a value outside the choices),
+    so callers can validate BEFORE the training thread starts instead of
+    crashing mid-run."""
+    spec = UI_OPTION_SPEC[key]
+    if isinstance(spec, tuple):
+        if value not in spec:
+            raise ValueError(f"option {key} must be one of {spec}, "
+                             f"got {value!r}")
+        return value
+    try:
+        f = float(value)
+    except (TypeError, ValueError):
+        raise ValueError(f"option {key} must be numeric, "
+                         f"got {value!r}") from None
+    if spec is int:
+        i = int(f)
+        if f != i:
+            raise ValueError(f"option {key} must be an integer, "
+                             f"got {value!r}")
+        return i
+    return f
+
+
 def run_pinn_training(
     equation: str,
     boundary: dict,
@@ -1313,15 +1356,17 @@ def run_pinn_training(
     spec = replace(spec, stages=(s1, spec.stages[1]))
 
     # advanced options (round-3 UI extension beyond the reference schema):
-    # whitelisted TrainSpec / per-stage overrides
+    # whitelisted TrainSpec / per-stage overrides, coerced through the
+    # SHARED registry (UI_OPTION_SPEC) the controller validates against
     if options:
-        spec_keys = {k: options[k] for k in
-                     ("deflation", "lsq_polish", "adam_precision",
-                      "adam_engine", "lr_min") if k in options}
+        coerced = {k: coerce_ui_option(k, v) for k, v in options.items()
+                   if k in UI_OPTION_SPEC}
+        spec_keys = {k: v for k, v in coerced.items()
+                     if k not in _UI_STAGE_OPTIONS}
         if spec_keys:
             spec = replace(spec, **spec_keys)
-        st_keys = {k: int(options[k]) for k in ("lbfgs_rounds", "lbfgs_grid")
-                   if k in options}
+        st_keys = {k: v for k, v in coerced.items()
+                   if k in _UI_STAGE_OPTIONS}
         if st_keys:
             spec = replace(spec, stages=tuple(
                 replace(s, **st_keys) for s in spec.stages))
