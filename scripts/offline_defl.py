@@ -30,6 +30,10 @@ def main():
     p.add_argument("--n-grid", type=int, default=161,
                    help="correction quadrature grid per axis")
     p.add_argument("--platform", default="cpu")
+    p.add_argument("--write", action="store_true",
+                   help="persist the computed correction into the "
+                        "checkpoint meta (serving then applies it "
+                        "automatically)")
     args = p.parse_args()
 
     import jax
@@ -85,12 +89,24 @@ def main():
         return
     du, _ = polish.deflation_fields(defl, srv.compiled, z)
     rel1 = float(np.linalg.norm(u - du - exact) / np.linalg.norm(exact))
+    written = False
+    if args.write:
+        from tpinn.utils.artifacts import atomic_savez
+
+        arrays = {k: raw[k] for k in raw.files if k != "__meta__"}
+        meta2 = dict(meta)
+        meta2["deflation"] = defl
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta2).encode(), dtype=np.uint8)
+        atomic_savez(args.checkpoint, **arrays)
+        written = True
     print(json.dumps({
         "problem": args.problem, "kind": defl["kind"],
         "n_modes": len(defl["modes"]),
         "resid_drop": defl.get("resid_drop"),
         "rel_l2": rel0, "rel_l2_corrected": rel1,
         "gain": rel0 / rel1 if rel1 > 0 else float("inf"),
+        "written": written,
     }))
 
 

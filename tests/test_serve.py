@@ -185,3 +185,20 @@ def test_server_rebuilds_deflation_term(tmp_path):
     term = np.asarray(polish.deflation_term(defl)(jnp.asarray(pts)))[:, 0]
     np.testing.assert_allclose(served, raw - term, rtol=1e-5, atol=1e-7)
     assert np.abs(term).max() > 1e-5   # the term is actually non-trivial
+
+
+def test_server_retroactive_deflate_noop_on_random_net(ckpt_path):
+    """serve(deflate='full') on a checkpoint with no stored correction and
+    an untrained net: the guards reject every family (residual not
+    absorbable), the server logs the no-op and serves the raw predictor."""
+    from tpinn.app.serve import PINNServer
+
+    path, params, spec, fm = ckpt_path
+    raw_srv = PINNServer(str(path), "annulus_laplace")
+    srv = PINNServer(str(path), "annulus_laplace", deflate="full")
+    pts = [[0.5, 0.3], [0.7, 0.9]]
+    a = np.asarray(raw_srv.predict(pts))
+    b = np.asarray(srv.predict(pts))
+    # either no correction applied (identical) or a guarded tiny one —
+    # for a random net the guards must reject, so exact equality
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)

@@ -30,7 +30,8 @@ import numpy as np
 
 class PINNServer:
     def __init__(self, checkpoint: str, problem_name: str,
-                 depth: Optional[int] = None, width: Optional[int] = None):
+                 depth: Optional[int] = None, width: Optional[int] = None,
+                 deflate: str = "off"):
         import jax
         import jax.numpy as jnp
 
@@ -88,15 +89,39 @@ class PINNServer:
                 pde.compile_coord_expr(e, coords) for e in meta["hard_bc"]
             )
             predictor = net.wrap_hard_bc(predictor, lift_fn, bubble_fn)
-        if meta.get("deflation"):
-            # subtract the trained run's resonant-mode correction
-            # (polish.resonant_deflation; train.py saves it JSON-safe)
+        self.params, _ = ckpt.load_pytree(checkpoint, template)
+        defl = meta.get("deflation")
+        if not defl and deflate != "off":
+            # retroactive correction: compute the spectral defect
+            # correction for a checkpoint trained WITHOUT one (host f64,
+            # one-time at load; the guards make it a no-op where it
+            # cannot help).  Same dispatcher the trainer uses.
+            import sys as _sys
+
+            from tpinn.core import polish
+
+            src = (pde.compile_coord_expr(problem.source, problem.coords)
+                   if problem.source else None)
+            defl = polish.defect_correction(
+                predictor, self.params, self.compiled,
+                problem.lb, problem.ub,
+                tuple(meta["hard_bc"]) if meta.get("hard_bc") else None,
+                mode=deflate, source_fn=src,
+                coords=tuple(meta.get("coords", problem.coords)),
+                bc_groups=problem.bc_groups,
+            )
+            print(f"[serve] deflate={deflate}: "
+                  + (f"{defl['kind']} correction, {len(defl['modes'])} "
+                     f"modes" if defl else "no applicable correction"),
+                  file=_sys.stderr)
+        if defl:
+            # subtract the correction term (trained-run meta or the
+            # retroactive solve above; train.py saves it JSON-safe)
             from tpinn.core.polish import deflation_term
 
-            _term = deflation_term(meta["deflation"])
+            _term = deflation_term(defl)
             _raw = predictor
             predictor = lambda p, z: _raw(p, z) - _term(z)
-        self.params, _ = ckpt.load_pytree(checkpoint, template)
         self.predictor = predictor
         self._predict = jax.jit(self.predictor)
         self._residual = jax.jit(
@@ -179,12 +204,17 @@ def main():  # pragma: no cover
     # pins the platform reliably (set BEFORE any device use)
     p.add_argument("--platform", default=None,
                    help="force a jax platform, e.g. cpu")
+    p.add_argument("--deflate", default="off",
+                   choices=("off", "auto", "full"),
+                   help="compute a spectral defect correction at load for "
+                        "checkpoints trained without one (host f64; no-op "
+                        "when a stored correction exists or none applies)")
     args = p.parse_args()
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    server = PINNServer(args.checkpoint, args.problem)
+    server = PINNServer(args.checkpoint, args.problem, deflate=args.deflate)
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
     print(f"serving {args.problem} on :{args.port}")
     httpd.serve_forever()

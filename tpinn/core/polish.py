@@ -824,6 +824,25 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
         return None               # worsens the held-out residual
 
     c = solve(A_dom, y_dom, V_bd, e_bd[:, 0])
+
+    # perturbative-regime sanity: defect correction is an asymptotic
+    # method — valid only when the correction is SMALL against the
+    # solution scale.  An untrained/garbage net has O(1) "error"; the
+    # truncated fit then trades interior vs boundary arbitrarily (the
+    # held-out checks can pass while the interior worsens).  Measured:
+    # hS's genuine correction is ~4e-4 of ‖u‖, a random net's ~1×.
+    rng_s = np.random.default_rng(1)
+    zs = rng_s.uniform(0.0, 1.0, (512, dim))
+    for k in range(dim):
+        zs[:, k] = lb[k] + zs[:, k] * (ub[k] - lb[k])
+    u_s = _host_u_f64(predictor, params, zs)
+    Vs = np.concatenate(
+        [_basis_value(np, zs, b, lb, ub) for b in basis], axis=1)
+    du_rms = float(np.sqrt(((Vs @ c) ** 2).mean()))
+    u_rms = float(np.sqrt((u_s ** 2).mean()))
+    if du_rms > 0.1 * (u_rms + 1e-30):
+        return None
+
     y = np.concatenate([y_dom, wb * e_bd[:, 0]])
     A = np.vstack([A_dom, wb * V_bd])
     y0 = float(np.sqrt((y ** 2).sum()))
