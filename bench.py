@@ -234,13 +234,27 @@ def main():
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tpinn.utils.backendprobe import probe_backend
 
-        if not probe_backend():
-            print(json.dumps({
-                "metric": "train_points_per_sec", "value": 0.0,
-                "unit": "pts/s", "vs_baseline": 0.0,
-                "error": "accelerator backend unavailable (probe failed)",
-            }))
-            return
+        # A wedged worker heals on a pool-side watchdog timescale (observed:
+        # hours), so one failed probe does not mean the round-end bench must
+        # record a zero — wait bounded-long for the backend to come back
+        # before giving up.  TPINN_BENCH_PROBE_WAIT_SECS=0 restores the old
+        # fail-fast behavior.
+        wait_budget = float(os.environ.get("TPINN_BENCH_PROBE_WAIT_SECS",
+                                           "2400"))
+        t0 = time.time()
+        while not probe_backend():
+            waited = time.time() - t0
+            if waited >= wait_budget:
+                print(json.dumps({
+                    "metric": "train_points_per_sec", "value": 0.0,
+                    "unit": "pts/s", "vs_baseline": 0.0,
+                    "error": "accelerator backend unavailable "
+                             f"(probe failed for {waited:.0f}s)",
+                }))
+                return
+            print(f"[bench] backend down {waited:.0f}s — retrying "
+                  f"(budget {wait_budget:.0f}s)", file=sys.stderr)
+            time.sleep(min(240.0, max(1.0, wait_budget - waited)))
 
     _enable_compile_cache()
     import jax
