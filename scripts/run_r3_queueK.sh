@@ -95,6 +95,23 @@ timeout 3600 env TPINN_BENCH_PROBE_WAIT_SECS=600 \
   python bench.py --full > out/logs/bench_r3K.json 2> out/logs/bench_r3K.err
 echo "R3 BENCH DONE $(date +%T)"
 
+# ---- Tier 2b: hY — the hQ-postmortem arm.  The helmholtz error FFT
+#      sits on the resonance ring (near-null modes of Δ+k² the residual
+#      barely weights); the targeted fix is a LATE BC-WEIGHT-RAISING
+#      warm continuation stage (StageSpec.lw exists; never run).  Stage 1
+#      k=10 curriculum at lw0=1e-4, stage 2 true k=20 warm, stage 3 warm
+#      with lw0 raised 100x + a gentler restart lr, then LSQ polish +
+#      soft-BC Chebyshev defect correction. ----
+
+run hY 10000 --problem helmholtz_2d \
+  --stages "4x128:tanh:ff64:fs10,4x128:tanh:ff64:fs10:warm,4x128:tanh:ff64:fs10:warm:lw1e-2:lr1e-4" \
+  --stage-eq "1:u_xx + u_yy + 100*u + 100*sin(10*x)*sin(10*y)" \
+  --adam 30000 --lbfgs 12000 --stage2-mult 1.0 --n-col 40000 --n-band 4000 \
+  --n-adaptive 16000 --n-bd 4000 --lw0 1e-4 --lbfgs-grid 283 \
+  --lsq-polish auto --pad-features 3 --deflation full --save-artifacts
+
+echo "R3 HY DONE $(date +%T)"
+
 # ---- Tier 3: exploratory arms (single-stage generalization, 2-stage
 #      tanh,sin pairs, curriculum-deflation interplay, wide rerun) ----
 
