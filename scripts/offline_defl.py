@@ -30,6 +30,10 @@ def main():
     p.add_argument("--n-grid", type=int, default=161,
                    help="correction quadrature grid per axis")
     p.add_argument("--platform", default="cpu")
+    p.add_argument("--degree", default=None,
+                   help="soft-BC Chebyshev degree: an int or 'auto' "
+                        "(held-out-selected ladder); default = "
+                        "polish.soft_defect's default")
     p.add_argument("--write", action="store_true",
                    help="persist the computed correction into the "
                         "checkpoint meta (serving then applies it "
@@ -81,7 +85,10 @@ def main():
         mode=args.mode, source_fn=source_fn,
         coords=tuple(meta.get("coords", problem.coords)),
         bc_groups=problem.bc_groups,
-        n_grid=args.n_grid)
+        n_grid=args.n_grid,
+        **({} if args.degree is None else
+           {"degree": args.degree if args.degree == "auto"
+            else int(args.degree)}))
     if defl is None:
         print(json.dumps({"problem": args.problem, "rel_l2": rel0,
                           "corrected": None,
@@ -102,6 +109,7 @@ def main():
         written = True
     print(json.dumps({
         "problem": args.problem, "kind": defl["kind"],
+        "degree": defl.get("degree"),
         "n_modes": len(defl["modes"]),
         "resid_drop": defl.get("resid_drop"),
         "rel_l2": rel0, "rel_l2_corrected": rel1,

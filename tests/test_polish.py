@@ -514,3 +514,41 @@ def test_soft_defect_recovers_boundary_carrying_error():
     # serving term matches the field adjustment
     term = polish.deflation_term(defl)
     assert np.allclose(np.asarray(term(jnp.asarray(z))), du, atol=1e-6)
+
+def test_soft_defect_degree_auto_selects_and_recovers():
+    """degree="auto": the held-out ladder picks a degree from the
+    candidate set, records it, and recovers the planted error at least
+    as well as the test's hand-picked fixed degree."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish, sample
+
+    compiled = pde.compile_pde(
+        "u_xx + u_yy + 30*u - (30 - 2*pi**2)*sin(pi*x)*sin(pi*y)",
+        ("x", "y"))
+
+    def err(x, y, xp):
+        return 5e-4 * (x * x * y + 0.5 * xp.cos(2 * y) * x - 0.3)
+
+    def predictor(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) + err(x, y, jnp)
+
+    groups = (
+        sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+        sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
+        sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0), value=0.0),
+    )
+    defl = polish.defect_correction(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        hard_bc=None, mode="full", coords=("x", "y"),
+        bc_groups=groups, n_grid=61, degree="auto")
+    assert defl is not None and defl.get("soft") is True
+    assert defl["degree"] in (8, 12, 16, 20, 24)
+
+    z = np.random.default_rng(7).uniform(0, 1, (400, 2))
+    du, _ = polish.deflation_fields(defl, compiled, z)
+    g = err(z[:, :1], z[:, 1:], np)
+    scale = np.abs(g).max()
+    assert np.abs(du - g).max() < 0.03 * scale

@@ -720,7 +720,7 @@ def soft_defect(
     bc_groups,
     source_fn: Optional[Callable] = None,
     n_grid: int = 161,
-    degree: int = 16,
+    degree="auto",
     n_bd: int = 256,
     drop_tol: float = 1.05,
 ):
@@ -743,6 +743,16 @@ def soft_defect(
     Measured on hS (helmholtz k=20, 3.85e-4): degree 16 → 1.56e-4
     (2.5×); larger bases START FITTING RESIDUAL NOISE (degree 30
     regresses to 2.8e-4), hence the modest default and the guard.
+
+    ``degree="auto"`` (the default) selects the degree over the ladder
+    (8, 12, 16, 20, 24) by held-out relative misfit (boundary + residual
+    on the excluded rows) — the same signal the guard uses, turned from
+    a veto into a selector.  The basis is assembled once at the ladder's
+    top; each candidate is a column subset, so selection costs only
+    extra least-squares solves.  Validated against the analytic oracle
+    on hS's checkpoint: the ladder's true rel-L2 is {8: guard-rejected,
+    12: 3.19e-4, 16: 1.56e-4, 20: rejected, 24: rejected} and auto picks
+    16 — the optimum.
 
     Guard: a held-out split (every 5th domain row and boundary point is
     excluded from the fit) must show the correction improving the
@@ -771,10 +781,15 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
     import numpy as np
 
     dim = len(lb)
-    axes_1d = [[("cheb", n) for n in range(degree + 1)]] * dim
+    candidates = (8, 12, 16, 20, 24) if degree == "auto" else (int(degree),)
+    dmax = max(candidates)
+    axes_1d = [[("cheb", n) for n in range(dmax + 1)]] * dim
     basis = [tuple(c) for c in itertools.product(*axes_1d)]
     if len(basis) > 1200:
         return None
+    # per-column polynomial degree (max over axes) — candidate d keeps
+    # the columns with all axis degrees <= d, a nested subset family
+    col_deg = np.array([max(n for _, n in b) for b in basis])
 
     z, W = _box_quadrature(lb, ub, n_grid)
     sw = np.sqrt(W)
@@ -798,11 +813,8 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
 
     A_dom = LV * sw[:, None]
     y_dom = r[:, 0] * sw
-    s_dom = float(np.sqrt((A_dom ** 2).mean()))
-    s_bd = float(np.sqrt((V_bd ** 2).mean())) + 1e-300
-    wb = s_dom / s_bd / np.sqrt(max(1, len(bc_groups)))
 
-    def solve(Ad, yd, Vb, eb):
+    def solve(Ad, yd, Vb, eb, wb):
         A = np.vstack([Ad, wb * Vb])
         y = np.concatenate([yd, wb * eb])
         c, *_ = np.linalg.lstsq(A, y, rcond=1e-10)
@@ -810,20 +822,41 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
 
     # held-out validation: fit without every 5th row, require the
     # correction to generalize (improve held-out boundary misfit, not
-    # worsen held-out residual) — the guard against fitting noise
+    # worsen held-out residual) — the guard against fitting noise.
+    # With a degree ladder, the same held-out signal also SELECTS the
+    # degree: candidates that pass the guard are ranked by their
+    # dimensionless held-out misfit (boundary + residual, each relative
+    # to the uncorrected level) and the best one is refit on all rows.
     hd = np.arange(A_dom.shape[0]) % 5 == 0
     hb = np.arange(V_bd.shape[0]) % 5 == 0
-    c_fit = solve(A_dom[~hd], y_dom[~hd], V_bd[~hb], e_bd[~hb, 0])
     bd_h0 = float(np.sqrt((e_bd[hb, 0] ** 2).mean()))
-    bd_h1 = float(np.sqrt(((e_bd[hb, 0] - V_bd[hb] @ c_fit) ** 2).mean()))
     r_h0 = float(np.sqrt((y_dom[hd] ** 2).mean()))
-    r_h1 = float(np.sqrt(((y_dom[hd] - A_dom[hd] @ c_fit) ** 2).mean()))
-    if bd_h1 > bd_h0 * 1.02 + 1e-14:
-        return None               # does not generalize on the boundary
-    if r_h0 > 0 and r_h1 / r_h0 > drop_tol:
-        return None               # worsens the held-out residual
 
-    c = solve(A_dom, y_dom, V_bd, e_bd[:, 0])
+    best = None
+    for d in candidates:
+        sel = col_deg <= d
+        Asub, Vsub = A_dom[:, sel], V_bd[:, sel]
+        # boundary block scaled to the subset's domain-block sensitivity
+        s_dom = float(np.sqrt((Asub ** 2).mean()))
+        s_bd = float(np.sqrt((Vsub ** 2).mean())) + 1e-300
+        wb = s_dom / s_bd / np.sqrt(max(1, len(bc_groups)))
+        c_fit = solve(Asub[~hd], y_dom[~hd], Vsub[~hb], e_bd[~hb, 0], wb)
+        bd_h1 = float(np.sqrt(((e_bd[hb, 0] - Vsub[hb] @ c_fit) ** 2).mean()))
+        r_h1 = float(np.sqrt(((y_dom[hd] - Asub[hd] @ c_fit) ** 2).mean()))
+        if bd_h1 > bd_h0 * 1.02 + 1e-14:
+            continue              # does not generalize on the boundary
+        if r_h0 > 0 and r_h1 / r_h0 > drop_tol:
+            continue              # worsens the held-out residual
+        score = bd_h1 / (bd_h0 + 1e-300) + r_h1 / (r_h0 + 1e-300)
+        if best is None or score < best[0]:
+            best = (score, d, sel, wb, bd_h1, r_h1)
+    if best is None:
+        return None
+    _, deg_sel, sel, wb, bd_h1, r_h1 = best
+    basis = [b for b, k in zip(basis, sel) if k]
+    A_dom, V_bd = A_dom[:, sel], V_bd[:, sel]
+
+    c = solve(A_dom, y_dom, V_bd, e_bd[:, 0], wb)
 
     # perturbative-regime sanity: defect correction is an asymptotic
     # method — valid only when the correction is SMALL against the
@@ -858,6 +891,7 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
     return {"kind": "galerkin", "modes": modes, "coeffs": coeffs,
             "resid_drop": y1 / y0 if y0 > 0 else 0.0,
             "bd_rms": [bd0, bd1], "heldout": [bd_h0, bd_h1, r_h0, r_h1],
+            "degree": int(deg_sel),
             "n_grid": n_grid, "soft": True,
             "linearized": not compiled.is_linear,
             "lb": lb, "ub": ub}
