@@ -552,3 +552,59 @@ def test_soft_defect_degree_auto_selects_and_recovers():
     g = err(z[:, :1], z[:, 1:], np)
     scale = np.abs(g).max()
     assert np.abs(du - g).max() < 0.03 * scale
+
+
+def test_soft_defect_ring_augmentation_recovers_resonant_mode():
+    """Resonance-band sine columns (soft_defect ring=True, the default)
+    carry the near-null-space error a truncated Chebyshev basis cannot:
+    a planted sin(8πx)sin(8πy) mode of L = Δ + 1200 (ε = 1200 − 128π² =
+    −63, well inside the 0.35·c₀ band) needs polynomial degree ≳ 25,
+    far above the fixed degree-12 candidate — the ring column recovers
+    it exactly.  Without the ring the same fixed-degree solve must leave
+    the resonant content behind."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish, sample
+
+    # manufactured: u* = sin(pi x)sin(pi y) solves L u = f with
+    # f = (1200 - 2 pi^2) sin(pi x)sin(pi y)
+    compiled = pde.compile_pde(
+        "u_xx + u_yy + 1200*u - (1200 - 2*pi**2)*sin(pi*x)*sin(pi*y)",
+        ("x", "y"))
+
+    amp_s, amp_r = 3e-4, 5e-4
+
+    def err(x, y, xp):
+        smooth = amp_s * (x * x * y - 0.4 * x + 0.1)
+        ring = amp_r * xp.sin(8 * xp.pi * x) * xp.sin(8 * xp.pi * y)
+        return smooth + ring
+
+    def predictor(params, z):
+        x, y = z[:, 0:1], z[:, 1:2]
+        return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) + err(x, y, jnp)
+
+    groups = (
+        sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+        sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
+        sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0), value=0.0),
+    )
+    defl = polish.soft_defect(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0), groups,
+        n_grid=61, degree=12, ring_max_mode=8)
+    assert defl is not None and defl.get("ring", 0) > 0
+
+    z = np.random.default_rng(7).uniform(0, 1, (400, 2))
+    du, _ = polish.deflation_fields(defl, compiled, z)
+    g = err(z[:, :1], z[:, 1:], np)
+    assert np.abs(du - g).max() < 0.05 * np.abs(g).max()
+
+    # ablation: the pure-Chebyshev solve at the same degree cannot carry
+    # the resonant mode — it either fails the guard or leaves >=40% of
+    # the planted ring amplitude behind
+    off = polish.soft_defect(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0), groups,
+        n_grid=61, degree=12, ring=False)
+    if off is not None:
+        du0, _ = polish.deflation_fields(off, compiled, z)
+        assert np.abs(du0 - g).max() > 0.4 * amp_r

@@ -492,11 +492,27 @@ def _linearized_system(predictor, params, compiled, lb, ub, z, basis,
     if source_fn is not None:
         r = r - np.asarray(source_fn(z_j))
 
-    LV = np.empty((z.shape[0], len(basis)))
+    # The Fréchet derivative is LINEAR in the tangent and the compiled
+    # AST is pointwise (elementwise ops over derivative fields), so
+    # lin(t) = Σ_ix C_ix(z)·t_ix(z) with coefficient fields extracted by
+    # one lin call per derivative index — instead of one traced dispatch
+    # per basis column (~650 for the degree-24 soft ladder), assembly is
+    # len(indices) dispatches plus vectorized host numpy.
+    n = z.shape[0]
+    ones = np.ones((n, 1))
+    zero_t = {ix: jnp.zeros((n, 1)) for ix in tangent_keys}
+    C = {}
+    for ix in tangent_keys:
+        t = dict(zero_t)
+        t[ix] = jnp.asarray(ones)
+        C[ix] = np.asarray(lin(t))
+    LV = np.empty((n, len(basis)))
     for i, b in enumerate(basis):
         parts = _basis_partials(b, lb, ub, z, tangent_keys)
-        tangent = {ix: jnp.asarray(parts[ix]) for ix in parts}
-        LV[:, i] = np.asarray(lin(tangent))[:, 0]
+        acc = np.zeros((n, 1))
+        for ix in tangent_keys:
+            acc += C[ix] * parts[ix]
+        LV[:, i] = acc[:, 0]
     return LV, r
 
 
@@ -695,6 +711,53 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
             "lb": lb, "ub": ub}
 
 
+def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
+    """Sine tensor modes in the operator's resonance band — the columns a
+    truncated Chebyshev basis cannot represent (a k=20 oscillation needs
+    polynomial degree ≳ k, but degree ≳ 20 starts fitting residual noise;
+    see :func:`soft_defect`).  Selection mirrors
+    :func:`_resonant_deflation_x64`: probe the constant zeroth-order
+    coefficient c₀, keep every Π sin(m_j π x̂_j) that (a) is an eigenmode
+    of the linearized operator (diagnostic ≤ ``diag_tol``) and (b) has
+    eigenvalue ``|ε| ≤ band·|c₀|``.  Returns mixed-basis descriptors
+    (("sin", m₁), …) ready for :func:`_basis_value`; empty list when the
+    operator is nonlinear, has no constant c₀, or no mode qualifies."""
+    import itertools
+
+    import numpy as np
+
+    if not compiled.is_linear:
+        return []
+    dim = len(lb)
+    Wc = W[:, None]
+    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
+    base = np.asarray(compiled.evaluate(z, zeros))
+    if () not in compiled.indices:
+        return []
+    probe = dict(zeros)
+    probe[()] = np.ones((z.shape[0], 1))
+    c0_field = np.asarray(compiled.evaluate(z, probe)) - base
+    c0 = float(np.sum(c0_field * Wc))
+    if abs(c0) < 1e-12 or float(np.std(c0_field)) > 0.01 * abs(c0):
+        return []
+
+    out = []
+    for m in itertools.product(*([range(1, max_mode + 1)] * dim)):
+        parts = _mode_partials(m, lb, ub, z, compiled.indices)
+        v = (parts[()] if () in parts
+             else _mode_value(np, z, m, range(dim), lb, ub))
+        Lv = np.asarray(compiled.evaluate(z, parts)) - base
+        ip_vv = float(np.sum(v * v * Wc))
+        eps = float(np.sum(v * Lv * Wc)) / ip_vv
+        resid = Lv - eps * v
+        scale = float(np.sqrt(np.sum(Lv * Lv * Wc))) + 1e-300
+        if float(np.sqrt(np.sum(resid * resid * Wc))) / scale > diag_tol:
+            continue
+        if abs(eps) <= band * abs(c0):
+            out.append(tuple(("sin", mj) for mj in m))
+    return out
+
+
 def _host_u_f64(predictor, params, z_np):
     """Predictor values on a host grid, float64."""
     import numpy as np
@@ -723,6 +786,9 @@ def soft_defect(
     degree="auto",
     n_bd: int = 256,
     drop_tol: float = 1.05,
+    ring: bool = True,
+    ring_band: float = 0.35,
+    ring_max_mode: int = 16,
 ):
     """Defect correction for SOFT-BC runs.  The error's boundary trace is
     KNOWN data — e = u − g on every Dirichlet group — so no homogeneous
@@ -760,7 +826,15 @@ def soft_defect(
     beyond ``drop_tol`` — unlike the hard-BC paths, absolute residual
     absorption is NOT required, because the soft-BC residual is
     typically dominated by high-frequency net noise outside any
-    reasonable basis."""
+    reasonable basis.
+
+    ``ring=True`` (default) augments the Chebyshev basis with the
+    operator's resonance-band sine eigenmodes (``|ε| ≤ ring_band·|c₀|``,
+    :func:`_ring_sine_modes`) — the near-null-space content a truncated
+    polynomial cannot carry (hQ's error-FFT ring at 17.8–19.9 rad vs a
+    degree-16 basis).  The held-out ladder decides ring on/off per
+    candidate degree, so the augmentation can only be kept when it
+    generalizes."""
     if len(lb) not in (1, 2) or not bc_groups:
         return None
     lb = [float(v) for v in lb]
@@ -771,11 +845,12 @@ def soft_defect(
     with force_x64():
         return _soft_defect_x64(predictor, params, compiled, lb, ub,
                                 bc_groups, source_fn, n_grid, degree, n_bd,
-                                drop_tol)
+                                drop_tol, ring, ring_band, ring_max_mode)
 
 
 def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
-                     source_fn, n_grid, degree, n_bd, drop_tol):
+                     source_fn, n_grid, degree, n_bd, drop_tol,
+                     ring=True, ring_band=0.35, ring_max_mode=16):
     import itertools
 
     import numpy as np
@@ -792,6 +867,16 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
     col_deg = np.array([max(n for _, n in b) for b in basis])
 
     z, W = _box_quadrature(lb, ub, n_grid)
+
+    # resonance-band sine eigenmode augmentation (always-kept columns
+    # orthogonal to the degree ladder; the held-out guard decides use)
+    ring_cols = _ring_sine_modes(compiled, lb, ub, z, W, ring_band,
+                                 ring_max_mode) if ring else []
+    is_ring = np.concatenate([np.zeros(len(basis), bool),
+                              np.ones(len(ring_cols), bool)])
+    basis = basis + ring_cols
+    col_deg = np.concatenate([col_deg, np.zeros(len(ring_cols), int)])
+
     sw = np.sqrt(W)
     LV, r = _linearized_system(predictor, params, compiled, lb, ub,
                                z, basis, source_fn)
@@ -833,26 +918,30 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
     r_h0 = float(np.sqrt((y_dom[hd] ** 2).mean()))
 
     best = None
+    ring_opts = (False, True) if len(ring_cols) else (False,)
     for d in candidates:
-        sel = col_deg <= d
-        Asub, Vsub = A_dom[:, sel], V_bd[:, sel]
-        # boundary block scaled to the subset's domain-block sensitivity
-        s_dom = float(np.sqrt((Asub ** 2).mean()))
-        s_bd = float(np.sqrt((Vsub ** 2).mean())) + 1e-300
-        wb = s_dom / s_bd / np.sqrt(max(1, len(bc_groups)))
-        c_fit = solve(Asub[~hd], y_dom[~hd], Vsub[~hb], e_bd[~hb, 0], wb)
-        bd_h1 = float(np.sqrt(((e_bd[hb, 0] - Vsub[hb] @ c_fit) ** 2).mean()))
-        r_h1 = float(np.sqrt(((y_dom[hd] - Asub[hd] @ c_fit) ** 2).mean()))
-        if bd_h1 > bd_h0 * 1.02 + 1e-14:
-            continue              # does not generalize on the boundary
-        if r_h0 > 0 and r_h1 / r_h0 > drop_tol:
-            continue              # worsens the held-out residual
-        score = bd_h1 / (bd_h0 + 1e-300) + r_h1 / (r_h0 + 1e-300)
-        if best is None or score < best[0]:
-            best = (score, d, sel, wb, bd_h1, r_h1)
+        for use_ring in ring_opts:
+            sel = (~is_ring & (col_deg <= d)) | (is_ring & use_ring)
+            Asub, Vsub = A_dom[:, sel], V_bd[:, sel]
+            # boundary block scaled to the subset's domain-block sensitivity
+            s_dom = float(np.sqrt((Asub ** 2).mean()))
+            s_bd = float(np.sqrt((Vsub ** 2).mean())) + 1e-300
+            wb = s_dom / s_bd / np.sqrt(max(1, len(bc_groups)))
+            c_fit = solve(Asub[~hd], y_dom[~hd], Vsub[~hb], e_bd[~hb, 0], wb)
+            bd_h1 = float(
+                np.sqrt(((e_bd[hb, 0] - Vsub[hb] @ c_fit) ** 2).mean()))
+            r_h1 = float(
+                np.sqrt(((y_dom[hd] - Asub[hd] @ c_fit) ** 2).mean()))
+            if bd_h1 > bd_h0 * 1.02 + 1e-14:
+                continue          # does not generalize on the boundary
+            if r_h0 > 0 and r_h1 / r_h0 > drop_tol:
+                continue          # worsens the held-out residual
+            score = bd_h1 / (bd_h0 + 1e-300) + r_h1 / (r_h0 + 1e-300)
+            if best is None or score < best[0]:
+                best = (score, d, sel, wb, bd_h1, r_h1, use_ring)
     if best is None:
         return None
-    _, deg_sel, sel, wb, bd_h1, r_h1 = best
+    _, deg_sel, sel, wb, bd_h1, r_h1, ring_sel = best
     basis = [b for b, k in zip(basis, sel) if k]
     A_dom, V_bd = A_dom[:, sel], V_bd[:, sel]
 
@@ -892,6 +981,7 @@ def _soft_defect_x64(predictor, params, compiled, lb, ub, bc_groups,
             "resid_drop": y1 / y0 if y0 > 0 else 0.0,
             "bd_rms": [bd0, bd1], "heldout": [bd_h0, bd_h1, r_h0, r_h1],
             "degree": int(deg_sel),
+            "ring": len(ring_cols) if ring_sel else 0,
             "n_grid": n_grid, "soft": True,
             "linearized": not compiled.is_linear,
             "lb": lb, "ub": ub}
@@ -1245,7 +1335,9 @@ def defect_correction(
               if k in kw}
     # NB: drop_tol is hard-path-only (absorption fraction); the soft
     # path's guard is held-out generalization with its own default
-    soft_kw = {k: kw.pop(k) for k in ("degree", "n_bd") if k in kw}
+    soft_kw = {k: kw.pop(k)
+               for k in ("degree", "n_bd", "ring", "ring_band",
+                         "ring_max_mode") if k in kw}
     if "n_grid" in kw:
         gal_kw["n_grid"] = soft_kw["n_grid"] = kw["n_grid"]
     dim = len(lb)
