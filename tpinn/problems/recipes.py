@@ -28,8 +28,9 @@ Recipe notes (measured, see REPORT.md):
   poisson_1d 13949x, poisson_2d 12.5x, annulus 9.9x, burgers 5.9x (one
   Newton step), heat 4.5x, helmholtz 2.5x (soft-BC Chebyshev) — see
   REPORT.md; the guards make it a no-op where it cannot help.  Cost:
-  ~0.5-2 host-CPU minutes after the final stage (f64 quadrature +
-  one least-squares solve), negligible against the training wall.
+  seconds of host CPU after the final stage (the linearized system is
+  assembled from per-index coefficient fields, not per-column
+  dispatches), negligible against the training wall.
 - ``pad_features=3`` works around a tunneled-TPU fusion-pass SIGILL on
   2-wide first-layer contractions (scripts/probe_sigill.py bisection); it
   is harmless elsewhere.
