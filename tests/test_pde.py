@@ -145,3 +145,91 @@ def test_infer_coords():
     assert pde.infer_coords("u_xx + exp(u)") == ("x",)  # 'exp' is not x/p
     with pytest.raises(pde.PDESyntaxError):
         pde.infer_coords("u_rr + u_xx")
+
+
+def test_random_expression_fuzz_matches_constructed_oracle():
+    """Structural fuzz of the compiler: build 60 random residual
+    expressions compositionally — each node carries both its string form
+    and an independent numpy evaluator — compile the string, and check
+    the compiled AST's value on random points and random derivative
+    fields against the constructed oracle.  Exercises tokenizer,
+    precedence, unary minus, parentheses, function calls, powers, and
+    the derivative-suffix → multi-index mapping far beyond the
+    hand-written cases.  Also pins is_linear: an equation is flagged
+    nonlinear iff a u·u_x-style product term was generated."""
+    rng = np.random.default_rng(20260818)
+    coords = ("x", "y")
+    suffixes = {"u": (), "u_x": (0,), "u_y": (1,), "u_xx": (0, 0),
+                "u_yy": (1, 1), "u_xy": (0, 1)}
+
+    def coeff(depth=0):
+        """Random coefficient expression -> (string, fn(z)->[n,1])."""
+        kind = rng.integers(0, 7 if depth < 2 else 4)
+        if kind == 0:
+            v = round(float(rng.uniform(-3, 3)), 3)
+            # negative literals exercise unary minus at term heads
+            return (repr(v), lambda z, v=v: np.full((z.shape[0], 1), v))
+        if kind == 1:
+            return ("x", lambda z: z[:, 0:1])
+        if kind == 2:
+            return ("y", lambda z: z[:, 1:2])
+        if kind == 3:
+            k = int(rng.integers(1, 4))
+            f, nf = (("sin", np.sin), ("cos", np.cos),
+                     ("exp", np.exp))[rng.integers(0, 3)]
+            c = ("x", "y")[rng.integers(0, 2)]
+            j = 0 if c == "x" else 1
+            if f == "exp":
+                return (f"exp({c})", lambda z, j=j: np.exp(z[:, j:j + 1]))
+            return (f"{f}({k}*{c})",
+                    lambda z, j=j, k=k, nf=nf: nf(k * z[:, j:j + 1]))
+        if kind == 4:
+            a_s, a_f = coeff(depth + 1)
+            b_s, b_f = coeff(depth + 1)
+            return (f"({a_s} + {b_s})", lambda z: a_f(z) + b_f(z))
+        if kind == 5:
+            a_s, a_f = coeff(depth + 1)
+            b_s, b_f = coeff(depth + 1)
+            return (f"({a_s})*({b_s})", lambda z: a_f(z) * b_f(z))
+        a_s, a_f = coeff(depth + 1)
+        p = int(rng.integers(2, 4))
+        return (f"({a_s})**{p}", lambda z: a_f(z) ** p)
+
+    for trial in range(60):
+        n_terms = int(rng.integers(1, 5))
+        strs, fns, nonlinear = [], [], False
+        names = list(suffixes)
+        for t in range(n_terms):
+            c_s, c_f = coeff()
+            d = names[rng.integers(0, len(names))]
+            if t > 0 and rng.uniform() < 0.25:
+                # nonlinear transport-style product u * u_d
+                d2 = names[rng.integers(1, len(names))]
+                strs.append(f"{c_s}*u*{d2}")
+                fns.append(lambda z, parts, c_f=c_f, d2=d2:
+                           c_f(z) * parts["u"] * parts[d2])
+                nonlinear = True
+            else:
+                strs.append(f"{c_s}*{d}")
+                fns.append(lambda z, parts, c_f=c_f, d=d:
+                           c_f(z) * parts[d])
+        expr = strs[0]
+        signs = [1.0]
+        for s in strs[1:]:
+            neg = rng.uniform() < 0.5
+            signs.append(-1.0 if neg else 1.0)
+            expr += (" - " if neg else " + ") + s
+        compiled = pde.compile_pde(expr, coords)
+        assert compiled.is_linear == (not nonlinear), expr
+
+        z = rng.uniform(0.3, 1.7, (64, 2))
+        parts_np = {nm: rng.normal(0, 1, (64, 1)) for nm in names}
+        want = sum(sg * f(z, parts_np) for sg, f in zip(signs, fns))
+        parts_ix = {suffixes[nm]: jnp.asarray(v)
+                    for nm, v in parts_np.items()
+                    if suffixes[nm] in compiled.indices}
+        # compiled.indices may be a subset (unused suffixes dropped)
+        for ix in compiled.indices:
+            parts_ix.setdefault(ix, jnp.zeros((64, 1)))
+        got = np.asarray(compiled.evaluate(jnp.asarray(z), parts_ix))
+        assert np.allclose(got, want, rtol=1e-5, atol=1e-6), expr
