@@ -663,14 +663,13 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
     W = (W / W.sum()).ravel()[:, None]                # normalized quadrature
 
     full = band == "full"
-    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
-    base = np.asarray(compiled.evaluate(z, zeros))
+    # pointwise coefficient fields: every per-mode operator action below
+    # becomes vectorized numpy instead of one AST dispatch per mode
+    _, C = _coeff_fields(compiled, z, compiled.indices)
     # zeroth-order coefficient of the operator (the resonance scale)
     c0 = 0.0
     if () in compiled.indices:
-        probe = dict(zeros)
-        probe[()] = np.ones((z.shape[0], 1))
-        c0_field = np.asarray(compiled.evaluate(z, probe)) - base
+        c0_field = C[()]
         c0 = float(np.sum(c0_field * W))
         if abs(c0) > 1e-12 and float(np.std(c0_field)) > 0.01 * abs(c0):
             return None                               # variable c₀
@@ -687,7 +686,9 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
         parts = _mode_partials(m, lb, ub, z, compiled.indices)
         v = (parts[()] if () in parts
              else _mode_value(np, z, m, range(dim), lb, ub))
-        Lv = np.asarray(compiled.evaluate(z, parts)) - base
+        Lv = np.zeros((z.shape[0], 1))
+        for ix in compiled.indices:
+            Lv += C[ix] * parts[ix]
         ip_vv = float(np.sum(v * v * W))
         eps = float(np.sum(v * Lv * W)) / ip_vv
         resid = Lv - eps * v
@@ -711,6 +712,24 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
             "lb": lb, "ub": ub}
 
 
+def _coeff_fields(compiled, z, keys):
+    """Base field and pointwise coefficient fields of a LINEAR compiled
+    operator: evaluate(z, parts) = base + Σ_ix C_ix(z)·parts_ix(z).
+    Extracting them costs len(keys)+1 AST evaluations; every per-mode
+    operator action afterwards is vectorized host numpy instead of one
+    AST dispatch per mode."""
+    import numpy as np
+
+    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in keys}
+    base = np.asarray(compiled.evaluate(z, zeros))
+    C = {}
+    for ix in keys:
+        probe = dict(zeros)
+        probe[ix] = np.ones((z.shape[0], 1))
+        C[ix] = np.asarray(compiled.evaluate(z, probe)) - base
+    return base, C
+
+
 def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
     """Sine tensor modes in the operator's resonance band — the columns a
     truncated Chebyshev basis cannot represent (a k=20 oscillation needs
@@ -730,13 +749,10 @@ def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
         return []
     dim = len(lb)
     Wc = W[:, None]
-    zeros = {ix: np.zeros((z.shape[0], 1)) for ix in compiled.indices}
-    base = np.asarray(compiled.evaluate(z, zeros))
     if () not in compiled.indices:
         return []
-    probe = dict(zeros)
-    probe[()] = np.ones((z.shape[0], 1))
-    c0_field = np.asarray(compiled.evaluate(z, probe)) - base
+    _, C = _coeff_fields(compiled, z, compiled.indices)
+    c0_field = C[()]
     c0 = float(np.sum(c0_field * Wc))
     if abs(c0) < 1e-12 or float(np.std(c0_field)) > 0.01 * abs(c0):
         return []
@@ -746,7 +762,9 @@ def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
         parts = _mode_partials(m, lb, ub, z, compiled.indices)
         v = (parts[()] if () in parts
              else _mode_value(np, z, m, range(dim), lb, ub))
-        Lv = np.asarray(compiled.evaluate(z, parts)) - base
+        Lv = np.zeros((z.shape[0], 1))
+        for ix in compiled.indices:
+            Lv += C[ix] * parts[ix]
         ip_vv = float(np.sum(v * v * Wc))
         eps = float(np.sum(v * Lv * Wc)) / ip_vv
         resid = Lv - eps * v
@@ -1079,29 +1097,29 @@ def _deflation_fields_x64(defl, compiled, z_np):
     import numpy as np
 
     lb, ub = defl["lb"], defl["ub"]
-    zeros = {ix: np.zeros((z_np.shape[0], 1)) for ix in compiled.indices}
-    base = np.asarray(compiled.evaluate(z_np, zeros))
     du = np.zeros((z_np.shape[0], 1))
     df = np.zeros((z_np.shape[0], 1))
     dim = len(lb)
     galerkin = defl.get("kind", "modal") == "galerkin"
     linearized = bool(defl.get("linearized"))
+    # df only exists for LINEAR operators, where the operator action per
+    # mode is Σ_ix C_ix·parts_ix (one AST dispatch per index, not per mode)
+    C = None if linearized else _coeff_fields(compiled, z_np,
+                                              compiled.indices)[1]
     for m, c in zip(defl["modes"], defl["coeffs"]):
         if galerkin:
             m = tuple((k, int(n)) for k, n in m)
             parts = _basis_partials(m, lb, ub, z_np, compiled.indices)
             v = (parts[()] if () in parts
                  else _basis_value(np, z_np, m, lb, ub))
-            du += c * v
-            if not linearized:
-                base2 = np.asarray(compiled.evaluate(z_np, parts))
-                df += c * (base2 - base)
-            continue
-        parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
-        v = (parts[()] if () in parts
-             else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
+        else:
+            parts = _mode_partials(tuple(m), lb, ub, z_np, compiled.indices)
+            v = (parts[()] if () in parts
+                 else _mode_value(np, z_np, tuple(m), range(dim), lb, ub))
         du += c * v
-        df += c * (np.asarray(compiled.evaluate(z_np, parts)) - base)
+        if C is not None:
+            for ix in compiled.indices:
+                df += c * (C[ix] * parts[ix])
     return du, (None if linearized else df)
 
 
