@@ -1029,6 +1029,11 @@ def run_training(
             if defl is not None:
                 du, df = polish_mod.deflation_fields(defl, compiled_st,
                                                      np.asarray(X_star))
+                if exact64 is not None:
+                    # pre-correction accuracy, kept in the correction meta
+                    # so every run records its own before/after pair
+                    defl["rel_l2_before"] = float(
+                        rms(u_star - exact64) / (rms(exact64) + 1e-300))
                 u_star = u_star - du
                 term = polish_mod.deflation_term(defl)
                 raw = frozen
