@@ -34,6 +34,12 @@ def main():
                    help="soft-BC Chebyshev degree: an int or 'auto' "
                         "(held-out-selected ladder); default = "
                         "polish.soft_defect's default")
+    p.add_argument("--no-ring", action="store_true",
+                   help="soft path: disable the resonance-band sine "
+                        "augmentation (ablation)")
+    p.add_argument("--ring-band", type=float, default=None,
+                   help="soft path: resonance band as a fraction of c0 "
+                        "(default polish.soft_defect's 0.35)")
     p.add_argument("--write", action="store_true",
                    help="persist the computed correction into the "
                         "checkpoint meta (serving then applies it "
@@ -86,9 +92,12 @@ def main():
         coords=tuple(meta.get("coords", problem.coords)),
         bc_groups=problem.bc_groups,
         n_grid=args.n_grid,
-        **({} if args.degree is None else
-           {"degree": args.degree if args.degree == "auto"
-            else int(args.degree)}))
+        **{**({} if args.degree is None else
+              {"degree": args.degree if args.degree == "auto"
+               else int(args.degree)}),
+           **({"ring": False} if args.no_ring else {}),
+           **({} if args.ring_band is None
+              else {"ring_band": args.ring_band})})
     if defl is None:
         print(json.dumps({"problem": args.problem, "rel_l2": rel0,
                           "corrected": None,
