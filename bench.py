@@ -235,23 +235,28 @@ def main():
         from tpinn.utils.backendprobe import probe_backend
 
         # A wedged worker heals on a pool-side watchdog timescale (observed:
-        # hours), so one failed probe does not mean the round-end bench must
-        # record a zero — wait bounded-long for the backend to come back
-        # before giving up.  TPINN_BENCH_PROBE_WAIT_SECS=0 restores the old
-        # fail-fast behavior.
+        # hours).  Round 3 lesson (BENCH_r03: rc=124, parsed=null): the
+        # driver's own budget is finite (~30 min observed), so the ONE output
+        # line must never be gated behind the wait.  Protocol:
+        #   1. first failed probe -> emit the honest-zero JSON line NOW
+        #      (flushed), with the last committed measurement as context;
+        #   2. keep re-probing within a bounded budget (default 900s, safely
+        #      under the driver's); the driver parses the LAST stdout JSON
+        #      line, so a heal overwrites the zero with the real number;
+        #   3. budget exhausted -> exit 0; the zero line already stands.
+        # TPINN_BENCH_PROBE_WAIT_SECS=0 restores single-probe fail-fast.
         wait_budget = float(os.environ.get("TPINN_BENCH_PROBE_WAIT_SECS",
-                                           "3600"))
+                                           "900"))
         t0 = time.time()
-        while not probe_backend():
+        zero_emitted = False
+        while not probe_backend(timeout=240.0):
             waited = time.time() - t0
-            if waited >= wait_budget:
-                # honest zero — but give the reader the context: the last
-                # committed full-sweep measurement, clearly labeled as such
+            if not zero_emitted:
                 fail = {
-                    "metric": "train_points_per_sec", "value": 0.0,
-                    "unit": "pts/s", "vs_baseline": 0.0,
+                    "metric": "collocation_pts_per_sec_per_chip",
+                    "value": 0.0, "unit": "pts/s", "vs_baseline": 0.0,
                     "error": "accelerator backend unavailable "
-                             f"(probe failed for {waited:.0f}s)",
+                             "(liveness probe failed)",
                 }
                 try:
                     det = json.load(open(os.path.join(
@@ -267,11 +272,15 @@ def main():
                     }
                 except Exception:
                     pass
-                print(json.dumps(fail))
+                print(json.dumps(fail), flush=True)
+                zero_emitted = True
+            if waited >= wait_budget:
+                print(f"[bench] backend still down after {waited:.0f}s — "
+                      "honest zero line stands", file=sys.stderr)
                 return
             print(f"[bench] backend down {waited:.0f}s — retrying "
                   f"(budget {wait_budget:.0f}s)", file=sys.stderr)
-            time.sleep(min(240.0, max(1.0, wait_budget - waited)))
+            time.sleep(min(120.0, max(1.0, wait_budget - waited)))
 
     _enable_compile_cache()
     import jax

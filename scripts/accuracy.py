@@ -194,6 +194,10 @@ def main():
     stages = (replace(stages[0], scl=args.scl1),) + stages[1:]
     for item in args.stage_eq or ():
         idx, expr = item.split(":", 1)
+        if not (1 <= int(idx) <= len(stages)):
+            raise SystemExit(
+                f"--stage-eq: stage index {idx} out of range "
+                f"(1..{len(stages)} for stages={args.stages!r})")
         i = int(idx) - 1
         stages = stages[:i] + (replace(stages[i], equation=expr),) + stages[i + 1:]
     spec = TrainSpec(

@@ -212,6 +212,43 @@ def test_resonant_deflation_recovers_planted_mode():
     assert np.abs(err0 - du).max() < 0.06 * c_true
 
 
+def test_resonant_deflation_singular_mode_skipped():
+    """An EXACTLY-resonant operator (c₀ = 5π², so modes (1,2)/(2,1) are in
+    L's null space, ε = 0 to rounding) must never divide by ε: the band
+    path either skips the singular modes (returning None when nothing else
+    is in the band) or returns finite coefficients — no Inf/NaN baked into
+    u*, the checkpoint meta, or serving (ADVICE r3, medium)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import pde, polish
+
+    c0 = 5 * float(np.pi) ** 2                        # λ(1,2) exactly
+    compiled = pde.compile_pde(f"u_xx + u_yy + {c0!r}*u", ("x", "y"))
+
+    def predictor(params, z):                          # nonzero residual
+        x, y = z[:, 0:1], z[:, 1:2]
+        return jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y) * (1 + 0.1 * x)
+
+    defl = polish.resonant_deflation(
+        predictor, {}, compiled, (0.0, 0.0), (1.0, 1.0),
+        n_grid=61, max_mode=4)
+    if defl is not None:
+        assert all(np.isfinite(c) and abs(c) < 1e3 for c in defl["coeffs"]), \
+            defl["coeffs"]
+        assert all(abs(e) > 1e-6 for e in defl["eps"]), defl["eps"]
+
+    # shifting c₀ off the eigenvalue by 1 puts (1,2)/(2,1) near-resonant but
+    # well-conditioned (ε = ±1): they must be deflated, finitely
+    defl2 = polish.resonant_deflation(
+        predictor, {}, pde.compile_pde(f"u_xx + u_yy + {c0 + 1.0!r}*u",
+                                       ("x", "y")),
+        (0.0, 0.0), (1.0, 1.0), n_grid=61, max_mode=4)
+    assert defl2 is not None
+    got = dict(zip(map(tuple, defl2["modes"]), defl2["coeffs"]))
+    assert (1, 2) in got and (2, 1) in got
+    assert all(np.isfinite(c) for c in defl2["coeffs"])
+
+
 def test_resonant_deflation_inert_where_invalid():
     """Non-diagonal operators (heat's ∂t) and c₀-free operators (Poisson)
     select nothing — the deflation is safe to leave on 'auto'."""

@@ -678,7 +678,12 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
 
     r = _host_residual_f64(predictor, params, compiled, source_fn, z)
 
-    modes, coeffs, eps_list = [], [], []
+    # pass 1: eigenmode screening — collect every diagonal mode with its
+    # eigenvalue, WITHOUT dividing yet.  The singularity floor below must be
+    # scaled by the operator (max |ε| over the truncated spectrum, or |c₀|),
+    # not by the mode's own ‖Lv‖: an exactly-singular mode has Lv = ε·v ≈ 0,
+    # so a per-mode ‖Lv‖ floor can never catch it.
+    candidates = []
     ranges = [range(1, max_mode + 1)] * dim
     import itertools
 
@@ -695,11 +700,20 @@ def _resonant_deflation_x64(predictor, params, compiled, lb, ub, source_fn,
         scale = float(np.sqrt(np.sum(Lv * Lv * W))) + 1e-300
         if float(np.sqrt(np.sum(resid * resid * W))) / scale > diag_tol:
             continue                                  # not an eigenmode of L
-        if full:
-            if abs(eps) < 1e-9 * scale:
-                continue                              # exactly-singular mode
-        elif abs(eps) > band * abs(c0):
+        if not full and abs(eps) > band * abs(c0):
             continue                                  # outside the band
+        candidates.append((m, v, ip_vv, eps))
+
+    # pass 2: singularity floor + coefficient solve.  A mode with |ε| at
+    # float-rounding level relative to the operator scale is exactly
+    # resonant: 1/ε would bake an unbounded coefficient into u*, the
+    # checkpoint meta, and serving — skip it (the mode is in L's null space;
+    # its content is pinned by BC data, not by the residual).
+    eps_ref = max([abs(c0)] + [abs(e) for *_x, e in candidates])
+    modes, coeffs, eps_list = [], [], []
+    for m, v, ip_vv, eps in candidates:
+        if abs(eps) < 1e-9 * eps_ref:
+            continue                                  # singular mode
         c = float(np.sum(r * v * W)) / ip_vv / eps
         modes.append(list(m))
         coeffs.append(c)

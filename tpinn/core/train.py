@@ -484,6 +484,10 @@ def run_training(
             log(f"stage {stage_no}: equation override {st.equation!r}")
         else:
             compiled_st = compiled
+        if st.init_from == "prev" and si == 0:
+            raise ValueError(
+                "StageSpec.init_from='prev' on stage 1 has nothing to warm "
+                "from — remove it or reorder the stages")
         warm = st.init_from == "prev" and si > 0
         # --- derive scales from previous diagnostics (software.py:941-956)
         if si == 0:

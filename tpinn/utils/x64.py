@@ -9,6 +9,18 @@ rejects them).  Every x64 toggle+restore section in tpinn goes through
 ``force_x64()`` so the critical sections serialize.  The sections are short
 host-side evaluations (train.eval_stage_f64, polish.last_layer_lsq), so
 the lock is not a throughput concern.
+
+RESIDUAL RACE (known, accepted): the lock only serializes force_x64
+sections against EACH OTHER.  An f32 training that traces OUTSIDE any
+force_x64 section while another thread holds the lock still observes
+``jax_enable_x64=True`` — the global flag cannot protect code that does not
+take the lock.  Exposure in practice: the f32 hot paths trace once at stage
+start (scanned Adam phase, jitted L-BFGS) and the x64 sections are
+millisecond-scale host evaluations between stages, so the overlap window is
+tiny — but concurrent multi-session training (app.controller) can hit it.
+Mitigation if it ever bites: run concurrent sessions in separate processes
+(serve already does), or replace flag-toggling with explicit f64 dtypes on
+the host-eval paths.
 """
 
 from __future__ import annotations
