@@ -46,6 +46,43 @@ class PINNServer:
         self.compiled = pde.compile_pde(problem.equation, problem.coords)
         fm = net.feature_map_for(problem.feature_kinds)
 
+        # ensemble record (core.ensemble.run_ensemble_training output dir):
+        # serve the convex combination of member checkpoints plus the
+        # ensemble-level correction
+        from pathlib import Path as _Path
+
+        cpath = _Path(checkpoint)
+        if cpath.is_dir() and (cpath / "ensemble.json").exists():
+            cpath = cpath / "ensemble.json"
+        if cpath.name == "ensemble.json":
+            ens = json.loads(cpath.read_text())
+            base = cpath.parent
+            subs = [PINNServer(str(base / m), problem_name)
+                    for m in ens["members"]]
+            wts = [float(v) for v in ens["weights"]]
+            preds = [s.predictor for s in subs]
+
+            def predictor(params_list, z, _w=tuple(wts), _p=tuple(preds)):
+                acc = None
+                for wi, fi, pi in zip(_w, _p, params_list):
+                    v = wi * fi(pi, z)
+                    acc = v if acc is None else acc + v
+                return acc
+
+            if ens.get("deflation"):
+                from tpinn.core.polish import deflation_term
+
+                _term = deflation_term(ens["deflation"])
+                _raw = predictor
+                predictor = lambda p, z: _raw(p, z) - _term(z)
+            self.params = [s.params for s in subs]
+            self.predictor = predictor
+            self._predict = jax.jit(self.predictor)
+            self._residual = jax.jit(
+                lambda p, z: self.compiled.residual_fast(
+                    self.predictor, p, z))
+            return
+
         # peek metadata for the architecture
         raw = np.load(checkpoint)
         meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw \

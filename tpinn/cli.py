@@ -45,6 +45,20 @@ def cmd_train(args):
         # best-known gate-meeting config (tpinn/problems/recipes.py);
         # the explicit sizing flags are ignored in this mode
         problem, spec = problems.get_recipe(args.problem)
+        if args.ensemble > 1:
+            from tpinn.core.ensemble import run_ensemble_training
+
+            res = run_ensemble_training(
+                problem, spec, n_members=args.ensemble,
+                output_dir=args.out, print_log=True, resume=args.resume)
+            print(json.dumps({
+                "problem": args.problem, "recipe": True,
+                "ensemble": args.ensemble,
+                "rel_l2": res.rel_l2,
+                "rel_l2_members": res.rel_l2_members,
+                "weights": [float(v) for v in res.weights],
+            }))
+            return
         res = train.run_training(problem, spec, output_dir=args.out,
                                  print_log=True, resume=args.resume)
         print(json.dumps({
@@ -69,6 +83,19 @@ def cmd_train(args):
         stages=tuple(stages), seed=args.seed,
         lbfgs_dtype="float64" if args.f64_polish else None,
     )
+    if args.ensemble > 1:
+        from tpinn.core.ensemble import run_ensemble_training
+
+        res = run_ensemble_training(
+            problem, spec, n_members=args.ensemble, output_dir=args.out,
+            print_log=True, resume=args.resume)
+        print(json.dumps({
+            "problem": args.problem, "ensemble": args.ensemble,
+            "rel_l2": res.rel_l2,
+            "rel_l2_members": res.rel_l2_members,
+            "weights": [float(v) for v in res.weights],
+        }))
+        return
     res = train.run_training(problem, spec, output_dir=args.out,
                              print_log=True, resume=args.resume)
     print(json.dumps({
@@ -120,6 +147,11 @@ def main(argv=None):
     t.add_argument("--recipe", action="store_true",
                    help="use the preset's best-known gate-meeting config "
                         "(tpinn.problems.get_recipe); sizing flags ignored")
+    t.add_argument("--ensemble", type=int, default=1,
+                   help="train K seed-varied members and serve their "
+                        "residual-min-norm convex combination "
+                        "(core.ensemble.run_ensemble_training); the "
+                        "combination record lands in OUT/ensemble.json")
 
     a = sub.add_parser("app", help="launch the web calculator")
     a.add_argument("--port", type=int, default=8050)
