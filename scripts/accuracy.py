@@ -102,6 +102,11 @@ def main():
     p.add_argument("--lbfgs-device", default=None)
     p.add_argument("--scl1", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--ensemble", type=int, default=1,
+                   help="train K seed-varied members (seeds = seed + "
+                        "1000*i), combine by residual-min-norm convex "
+                        "weights, correct the mean once "
+                        "(core.ensemble.run_ensemble_training)")
     p.add_argument("--grid", type=int, default=111)
     p.add_argument("--platform", default=None)
     p.add_argument("--cpu-fallback", action="store_true")
@@ -229,6 +234,39 @@ def main():
     out_dir = (f"{args.out_dir}/{args.tag}_artifacts"
                if args.save_artifacts else None)
     t0 = time.perf_counter()
+    if args.ensemble > 1:
+        from tpinn.core.ensemble import run_ensemble_training
+
+        eres = run_ensemble_training(
+            problem, spec, n_members=args.ensemble,
+            output_dir=out_dir, print_log=not args.quiet,
+            log_fn=stage_log, resume=args.resume)
+        wall = time.perf_counter() - t0
+        res = eres.members[-1]  # stage diagnostics: last member's
+        rec = {
+            "tag": args.tag,
+            "problem": args.problem,
+            "rel_l2": eres.rel_l2,
+            "ensemble": {
+                "n_members": args.ensemble,
+                "rel_l2_members": eres.rel_l2_members,
+                "rel_l2_mean_raw": eres.rel_l2_mean_raw,
+                "weights": [float(v) for v in eres.weights],
+                "err_correlation": eres.err_correlation,
+            },
+            "wall_secs": round(wall, 2),
+            "backend": ("cpu" if eres.fell_back
+                        else jax.default_backend()),
+            "fell_back": eres.fell_back,
+            "config": {k: v for k, v in vars(args).items()
+                       if k not in ("out_dir", "quiet")},
+        }
+        out = Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / f"{args.tag}.json").write_text(json.dumps(rec, indent=2))
+        print(json.dumps({"tag": args.tag, "rel_l2": eres.rel_l2,
+                          "wall_secs": round(wall, 2)}))
+        return
     res = train.run_training(problem, spec, print_log=not args.quiet,
                              log_fn=stage_log, output_dir=out_dir,
                              resume=args.resume)
