@@ -80,7 +80,8 @@ def model_flops_per_point(depth=DEPTH, width=WIDTH, n_features=3,
 
 
 def build_phase(batch_scale=1.0, engine="auto", steps=400,
-                depth=DEPTH, width=WIDTH, precision="highest"):
+                depth=DEPTH, width=WIDTH, precision="highest",
+                layout="flat"):
     import jax
     import jax.numpy as jnp
 
@@ -111,7 +112,7 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400,
     density_fn = train.make_density_fn(predictor, compiled, grids)
     acfg = optim.AdamConfig(epochs=steps, resample_every=100,
                             density_every=2000, plateau_every=4000,
-                            tail_max=0)
+                            tail_max=0, layout=layout)
     phase = optim.make_adam_phase(
         loss_fn, sample_fn, density_fn, acfg,
         info_width=loss_mod.loss_info_width(2),
@@ -132,11 +133,12 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400,
 
 
 def timed_phase(batch_scale=1.0, engine="auto", steps=400, repeats=5,
-                depth=DEPTH, width=WIDTH, precision="highest"):
+                depth=DEPTH, width=WIDTH, precision="highest",
+                layout="flat"):
     import jax
 
     run, batch = build_phase(batch_scale, engine, steps, depth, width,
-                             precision)
+                             precision, layout)
     run(jax.random.PRNGKey(2))  # compile + warm
     times = []
     for i in range(repeats):
@@ -417,6 +419,19 @@ def _measure(args):
                   f"pts/s ({row['ms_per_step']:.3f} ms/step)",
                   file=sys.stderr)
         details["precisions"] = precisions
+
+        # Adam param layout A/B at the flagship shape: "flat" rides ONE
+        # raveled vector through the scanned automaton (the round-4
+        # default, optim.AdamConfig.layout), "tree" the per-leaf legacy —
+        # the flagship step is op-count-bound, so the collapse of the
+        # per-leaf m/v/update/apply chains is where the win should show.
+        layouts = {}
+        for lay in ("flat", "tree"):
+            row = timed_phase(steps=200, repeats=3, layout=lay)
+            layouts[lay] = row
+            print(f"[bench] layout={lay}: {row['pts_per_sec']:,.0f} pts/s "
+                  f"({row['ms_per_step']:.3f} ms/step)", file=sys.stderr)
+        details["layouts"] = layouts
 
         engines = {}
         for engine in ("auto", "fused", "kernel"):

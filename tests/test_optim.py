@@ -259,3 +259,74 @@ def test_adam_phase_resume_off_grid():
     hist = np.asarray(res.history)
     assert hist.shape[0] == 100
     np.testing.assert_allclose(hist[:37], 1.0)  # replayed rows kept
+
+
+def _multileaf_phase(layout, epochs=120):
+    """Adam phase over a 4-leaf nested pytree (mimics a small MLP)."""
+
+    def loss_fn(params, data, lw, ref):
+        pred = jnp.tanh(data["x"] @ params["l1"]["w"] + params["l1"]["b"])
+        pred = pred @ params["l2"]["w"] + params["l2"]["b"]
+        loss = jnp.mean((pred - data["y"]) ** 2)
+        return loss / ref, jnp.stack([loss, loss, lw[0] * loss])
+
+    def sample_fn(key, F):
+        x = jax.random.uniform(key, (32, 3)) + 0.0 * F[0, 0]
+        return {"x": x, "y": jnp.sin(x.sum(axis=1, keepdims=True))}
+
+    cfg = optim.AdamConfig(epochs=epochs, lr=0.02, resample_every=15,
+                           plateau_every=40, tail_max=30, log_every=10,
+                           layout=layout)
+    phase = optim.make_adam_phase(loss_fn, sample_fn, None, cfg,
+                                  info_width=3)
+    k = jax.random.PRNGKey(7)
+    ks = jax.random.split(k, 4)
+    params = {
+        "l1": {"w": jax.random.normal(ks[0], (3, 8)) * 0.5,
+               "b": jnp.zeros(8)},
+        "l2": {"w": jax.random.normal(ks[1], (8, 1)) * 0.5,
+               "b": jnp.zeros(1)},
+    }
+    data = sample_fn(ks[2], jnp.ones((3, 3)))
+    res = phase(ks[3], params, data, jnp.ones((3, 3)),
+                jnp.array([1.0]), jnp.array(1.0))
+    return res, phase, params, data
+
+
+def test_adam_flat_layout_matches_tree():
+    """AdamConfig.layout="flat" rides one raveled vector; the math is
+    identical to the per-leaf layout (Adam is elementwise), so the
+    trajectories must agree to float32 ulps — the only divergence source
+    is XLA fusing the unravel-reshaped graph differently (different
+    reduction rounding inside the matmuls), measured ~1 ulp/step."""
+    res_f, *_ = _multileaf_phase("flat")
+    res_t, *_ = _multileaf_phase("tree")
+    # pytree structure is preserved by the flat layout (callers never see
+    # the vector)
+    assert (jax.tree_util.tree_structure(res_f.params)
+            == jax.tree_util.tree_structure(res_t.params))
+    for a, b in zip(jax.tree_util.tree_leaves(res_f.params),
+                    jax.tree_util.tree_leaves(res_t.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    n = int(res_t.n_valid)
+    assert int(res_f.n_valid) == n
+    np.testing.assert_allclose(np.asarray(res_f.history)[:n],
+                               np.asarray(res_t.history)[:n],
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_f.lr), np.asarray(res_t.lr),
+                               rtol=1e-6)
+
+
+def test_adam_flat_layout_rejects_structure_swap():
+    """One flat-layout factory serves one params structure."""
+    _, phase, params, data = _multileaf_phase("flat", epochs=5)
+    other = {"w": jnp.zeros(4)}
+    with pytest.raises(ValueError, match="one phase factory"):
+        phase.make_state0(jax.random.PRNGKey(0), other, data,
+                          jnp.ones((3, 3)), jnp.array(1.0))
+
+
+def test_adam_layout_validation():
+    with pytest.raises(ValueError, match="layout"):
+        optim.AdamConfig(epochs=1, layout="bogus")

@@ -343,3 +343,66 @@ def test_auto_scl_nyquist_cap():
         log_fn=lines2.append)
     assert res2.stages[1].scl == pytest.approx(50.0)
     assert not any("Nyquist guard" in l for l in lines2)
+
+
+def test_midstage_resume_across_adam_layout(tmp_path, monkeypatch):
+    """A mid-Adam checkpoint written under layout="tree" resumes under a
+    layout="flat" spec: run_training detects the carry-structure mismatch
+    and finishes THAT stage under the checkpoint's own layout instead of
+    restarting — bit-identical to an uninterrupted tree-layout run."""
+    from tpinn.utils import checkpoint as ckpt_mod
+
+    problem = problems.poisson_1d()
+
+    def make_spec(layout):
+        st = StageSpec(depth=2, width=16, scl=1.0, epsil=1.0,
+                       adam_epochs=200, lbfgs_epochs=30)
+        return TrainSpec(
+            n_col=128, n_band=32, n_adaptive=32, n_bd=16,
+            testing_size=(64,), lw=(1.0, 0.0), grid=41,
+            stages=(st,), density_every=100, plateau_every=100,
+            tail_max=0, log_every=5, checkpoint_every=50,
+            adam_layout=layout,
+        )
+
+    noop_log = lambda msg: None
+
+    # --- run A: uninterrupted, tree layout
+    dir_a = tmp_path / "a"
+    res_a = train.run_training(problem, make_spec("tree"),
+                               output_dir=str(dir_a), log_fn=noop_log)
+
+    # --- run B: tree layout, killed after the step-100 checkpoint
+    dir_b = tmp_path / "b"
+    orig_save = ckpt_mod.save_phase_state
+
+    class Killed(Exception):
+        pass
+
+    def killer(path, done, state, hist):
+        orig_save(path, done, state, hist)
+        if done >= 100:
+            raise Killed(f"simulated kill at step {done}")
+
+    monkeypatch.setattr(ckpt_mod, "save_phase_state", killer)
+    with pytest.raises(Killed):
+        train.run_training(problem, make_spec("tree"),
+                           output_dir=str(dir_b), log_fn=noop_log)
+    monkeypatch.setattr(ckpt_mod, "save_phase_state", orig_save)
+    assert (dir_b / "adam_state_stage_1.npz").exists()
+
+    # --- resume B under the flat default
+    lines = []
+    res_b = train.run_training(problem, make_spec("flat"),
+                               output_dir=str(dir_b),
+                               log_fn=lines.append, resume=True)
+    assert any("resuming this stage under layout='tree'" in ln
+               for ln in lines), "\n".join(lines[:20])
+    np.testing.assert_array_equal(
+        np.asarray(res_b.stages[0].history),
+        np.asarray(res_a.stages[0].history),
+    )
+    for pa, pb in zip(jax.tree_util.tree_leaves(res_a.stages[0].params),
+                      jax.tree_util.tree_leaves(res_b.stages[0].params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    assert res_b.rel_l2 == res_a.rel_l2

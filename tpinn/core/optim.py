@@ -76,6 +76,23 @@ class AdamConfig:
     # wide/Fourier nets can't push a dispatch past the kill; max_chunk
     # stays the hard cap.
     max_chunk: int = 2000
+    # Parameter layout inside the scanned automaton.  "flat" runs the
+    # whole phase on ONE raveled vector (loss unravels it on entry):
+    # Adam is elementwise, so the math is identical to the per-leaf
+    # layout — trajectories agree to float32 ulps (asserted in
+    # tests/test_optim.py; the residual ~1 ulp/step is XLA fusing the
+    # unravel-reshaped graph with different reduction rounding), but the
+    # ~14-leaf pytree's per-step update chain (m/v/update/apply per leaf)
+    # collapses into a handful of full-vector ops — at small-net shapes
+    # the scanned step is op-count-bound, not FLOP-bound, so this trims
+    # real step time.  "tree" is the pre-round-4 layout (kept for A/B
+    # timing and for resuming mid-Adam checkpoints saved before the flip).
+    layout: str = "flat"
+
+    def __post_init__(self):
+        if self.layout not in ("flat", "tree"):
+            raise ValueError(f"layout must be 'flat'|'tree', "
+                             f"got {self.layout!r}")
 
 
 class AdamPhaseResult(NamedTuple):
@@ -109,11 +126,45 @@ def make_adam_phase(
         from each chunk's history on the host — no in-graph callbacks,
         which some TPU runtimes (axon PJRT) do not support.
     :returns: ``phase(key, params, data, F, lw, ref)`` -> AdamPhaseResult.
+
+    With ``config.layout == "flat"`` the scan carries the params as one
+    raveled vector (see AdamConfig.layout); callers still pass and receive
+    pytrees — the conversion happens in ``make_state0`` / on return, so
+    mid-stage checkpoints written by either layout only load back under
+    the same layout (a mismatch raises in ``load_phase_state`` and the
+    caller's existing except-path restarts the phase).
     """
 
     opt = optax.inject_hyperparams(optax.adam)(
         learning_rate=config.lr, b1=config.b1, b2=config.b2, eps=config.eps
     )
+    use_flat = config.layout == "flat"
+    if use_flat:
+        # the unravel closure is bound at make_state0 time (the factory
+        # never sees a params template); one factory serves one stage, but
+        # guard against structure swaps between calls anyway
+        _flat = {"unravel": None, "treedef": None}
+        raw_loss, raw_density = loss_fn, density_fn
+
+        def loss_fn(vec, data, lw, ref):  # noqa: F811
+            return raw_loss(_flat["unravel"](vec), data, lw, ref)
+
+        if density_fn is not None:
+            def density_fn(vec):  # noqa: F811
+                return raw_density(_flat["unravel"](vec))
+
+        def _bind_flat(params):
+            td = jax.tree_util.tree_structure(params)
+            if _flat["treedef"] is not None and td != _flat["treedef"]:
+                raise ValueError(
+                    "make_adam_phase(layout='flat'): one phase factory "
+                    "serves one params structure; build a new factory for "
+                    f"{td} (bound: {_flat['treedef']})"
+                )
+            flat, unravel = jax.flatten_util.ravel_pytree(params)
+            _flat["unravel"], _flat["treedef"] = unravel, td
+            return flat
+
     grad_fn = jax.grad(loss_fn, has_aux=True)
     ring_n = max(1, config.plateau_every)
     half = config.plateau_every // 2  # reference: nc0-sized windows (:431-433)
@@ -227,6 +278,8 @@ def make_adam_phase(
         """The step-0 scan carry — also the template pytree for loading a
         mid-stage checkpoint (tpinn.utils.checkpoint.load_phase_state)."""
         f_dtype = jnp.asarray(0.0, dtype=jnp.result_type(ref)).dtype
+        if use_flat:
+            params = _bind_flat(params)
         return (params, opt.init(params), data, F, key,
                 jnp.zeros((ring_n,), f_dtype))
 
@@ -312,6 +365,8 @@ def make_adam_phase(
         lr = opt_state.hyperparams["learning_rate"]
 
         if config.tail_max == 0 or hist_scan.shape[0] == 0:
+            if use_flat:
+                params = _flat["unravel"](params)
             return AdamPhaseResult(params, hist_scan, jnp.int32(config.epochs),
                                    F, data, key, lr)
 
@@ -333,6 +388,8 @@ def make_adam_phase(
         lr = opt_state.hyperparams["learning_rate"]
         history = jnp.concatenate([hist_scan, tail_buf], axis=0)
         n_valid = jnp.int32(config.epochs) + n_tail
+        if use_flat:
+            params = _flat["unravel"](params)
         return AdamPhaseResult(params, history, n_valid, F, data, key, lr)
 
     phase.make_state0 = make_state0

@@ -238,6 +238,12 @@ class TrainSpec:
     # gradients (the kernel's ~1e-4 gradient deviation is harmless to Adam
     # but stalls quasi-Newton convergence near the optimum).
     adam_engine: Optional[str] = None
+    # Parameter layout of the scanned Adam automaton ("flat" = the whole
+    # phase rides ONE raveled vector; same math to float32 ulps, fewer
+    # per-step ops — see optim.AdamConfig.layout).  "tree" restores the
+    # pre-round-4 per-leaf layout (and is required to resume a mid-Adam
+    # checkpoint saved by it).
+    adam_layout: str = "flat"
     # Minimum input-embedding width (net.FeatureMap.pad_to): pads the
     # feature columns with duplicates of column 0.  The model class is
     # unchanged; 3 works around a tunneled-TPU XLA fusion-pass SIGILL on
@@ -726,6 +732,7 @@ def run_training(
                 plateau_every=spec.plateau_every,
                 lr_min=spec.lr_min,
                 tail_max=spec.tail_max, log_every=spec.log_every,
+                layout=spec.adam_layout,
             )
             adam_log = None
             if log_fn is not None or print_log:
@@ -752,9 +759,34 @@ def run_training(
                     log(f"stage {stage_no}: resuming Adam mid-stage at step "
                         f"{init_phase[0]}/{st.adam_epochs}")
                 except Exception as e:
-                    log(f"stage {stage_no}: mid-stage checkpoint unusable "
-                        f"({e}); restarting the Adam phase")
-                    init_phase = None
+                    # layout cross-compatibility: a checkpoint written under
+                    # the other AdamConfig.layout has a different carry
+                    # structure (one raveled leaf vs per-leaf arrays).
+                    # Rather than discard hours of a long TPU phase, finish
+                    # THIS stage under the checkpoint's own layout — the
+                    # trajectories agree to float32 ulps (tests/test_optim).
+                    other = ("tree" if spec.adam_layout == "flat"
+                             else "flat")
+                    try:
+                        import dataclasses as _dc
+
+                        cfg_other = _dc.replace(adam_cfg, layout=other)
+                        phase_other = optim.make_adam_phase(
+                            loss_fn_adam, sample_fn, density_fn, cfg_other,
+                            info_width, adam_log
+                        )
+                        like = phase_other.make_state0(
+                            key_adam, params, data0, F0, ref)
+                        init_phase = load_phase_state(adam_ckpt, like)
+                        phase, adam_cfg = phase_other, cfg_other
+                        log(f"stage {stage_no}: checkpoint predates the "
+                            f"'{spec.adam_layout}' Adam layout — resuming "
+                            f"this stage under layout='{other}' at step "
+                            f"{init_phase[0]}/{st.adam_epochs}")
+                    except Exception:
+                        log(f"stage {stage_no}: mid-stage checkpoint "
+                            f"unusable ({e}); restarting the Adam phase")
+                        init_phase = None
             ckpt_cb = None
             if adam_ckpt is not None and spec.checkpoint_every > 0:
                 from tpinn.utils.checkpoint import save_phase_state
