@@ -294,26 +294,54 @@ def main():
     # a backend that wedges MID-measurement (dispatch killed server-side,
     # client futex-hangs — the round-3 incident) must still leave one
     # honest JSON line on the parent's stdout, not a silent rc=124.
+    # The child emits the headline JSON as soon as it is measured (before
+    # the --full sweep) and the parent STREAMS it through immediately, so
+    # a kill mid-sweep — or of the parent itself — still lands the real
+    # number: the driver parses the LAST JSON line printed.
     child_budget = float(os.environ.get("TPINN_BENCH_MEASURE_SECS",
                                         "2400" if args.full else "1200"))
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
            "--repeats", str(args.repeats), "--precision", args.precision]
     if args.full:
         cmd.append("--full")
+    import threading
+
+    child = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True)
+    got_json = []
+
+    def _pump_stderr():
+        for ln in child.stderr:
+            sys.stderr.write(ln)
+
+    t_err = threading.Thread(target=_pump_stderr, daemon=True)
+    t_err.start()
+
+    def _pump_stdout():
+        for ln in child.stdout:
+            if ln.startswith("{"):
+                print(ln, end="", flush=True)   # stream through NOW
+                got_json.append(ln)
+
+    t_out = threading.Thread(target=_pump_stdout, daemon=True)
+    t_out.start()
     try:
-        child = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=child_budget)
-        sys.stderr.write(child.stderr[-8000:])
-        lines = [ln for ln in child.stdout.strip().splitlines()
-                 if ln.startswith("{")]
-        if child.returncode == 0 and lines:
-            print(lines[-1], flush=True)
+        child.wait(timeout=child_budget)
+        t_out.join(timeout=30)
+        t_err.join(timeout=5)
+        if child.returncode == 0 and got_json:
             return
-        err = (f"measurement worker rc={child.returncode}: "
-               + (child.stderr.strip().splitlines() or ["no output"])[-1])
+        err = f"measurement worker rc={child.returncode}"
     except subprocess.TimeoutExpired:
+        child.kill()
         err = (f"measurement worker hung past {child_budget:.0f}s "
                "(backend wedged mid-run?)")
+    if got_json:
+        # the streamed headline already stands as the last JSON line —
+        # don't overwrite a real measurement with a zero
+        print(f"[bench] worker died after emitting a headline ({err}); "
+              "the streamed line stands", file=sys.stderr)
+        return
     fail = {"metric": "collocation_pts_per_sec_per_chip", "value": 0.0,
             "unit": "pts/s", "vs_baseline": 0.0, "error": err[:500]}
     try:
@@ -331,6 +359,13 @@ def main():
         pass
     print(json.dumps(fail), flush=True)
 
+
+
+def _write_details(details):
+    """Persist the sweep so far — a mid-sweep kill keeps partial sections."""
+    os.makedirs("out", exist_ok=True)
+    with open("out/bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
 
 def _measure(args):
     """The TPU-touching measurement body (runs as the --child worker)."""
@@ -367,6 +402,17 @@ def _measure(args):
         "mfu_vs_bf16_peak": round(mfu, 4),
     }
 
+    # emit the headline NOW (the parent streams it through): if the --full
+    # sweep below dies — compile storm past the budget, a wedge mid-sweep —
+    # the round still records the real measured number, not a zero
+    headline_line = json.dumps({
+        "metric": "collocation_pts_per_sec_per_chip",
+        "value": head["pts_per_sec"],
+        "unit": "pts/s",
+        "vs_baseline": round(head["pts_per_sec"] / baseline, 2),
+    })
+    print(headline_line, flush=True)
+
     if args.full:
         scaling = []
         for scale in (1.0, 5.0, 20.0, 80.0):
@@ -386,6 +432,7 @@ def _measure(args):
                   file=sys.stderr)
             scaling.append(row)
         details["scaling"] = scaling
+        _write_details(details)
 
         # width sweep at large batch: the MXU tiles 128×128, so a 60-wide
         # dense chain caps utilization near (60/128)² of a tile; 64/128
@@ -405,6 +452,7 @@ def _measure(args):
                   file=sys.stderr)
             widths.append(row)
         details["width_sweep"] = widths
+        _write_details(details)
 
         # precision tiers at the flagship shape: "highest" = 6-pass f32
         # emulation on the MXU, "high" = 3-pass bf16x3, "default" = one
@@ -419,6 +467,7 @@ def _measure(args):
                   f"pts/s ({row['ms_per_step']:.3f} ms/step)",
                   file=sys.stderr)
         details["precisions"] = precisions
+        _write_details(details)
 
         # Adam param layout A/B at the flagship shape: "flat" rides ONE
         # raveled vector through the scanned automaton (the round-4
@@ -432,6 +481,7 @@ def _measure(args):
             print(f"[bench] layout={lay}: {row['pts_per_sec']:,.0f} pts/s "
                   f"({row['ms_per_step']:.3f} ms/step)", file=sys.stderr)
         details["layouts"] = layouts
+        _write_details(details)
 
         engines = {}
         for engine in ("auto", "fused", "kernel"):
@@ -446,18 +496,11 @@ def _measure(args):
                 print(f"[bench] engine={engine} failed: "
                       f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
         details["engines"] = engines
+        _write_details(details)
 
-        os.makedirs("out", exist_ok=True)
-        with open("out/bench_details.json", "w") as f:
-            json.dump(details, f, indent=2)
         print("[bench] details -> out/bench_details.json", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "collocation_pts_per_sec_per_chip",
-        "value": head["pts_per_sec"],
-        "unit": "pts/s",
-        "vs_baseline": round(head["pts_per_sec"] / baseline, 2),
-    }))
+    print(headline_line, flush=True)  # re-assert as the last JSON line
 
 
 if __name__ == "__main__":
