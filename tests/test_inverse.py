@@ -1,0 +1,192 @@
+"""Inverse-problem tests: parameterized equations + coefficient recovery.
+
+The reference has no inverse capability (its residual is hardcoded,
+software.py:283-297); tpinn.core.inverse adds the classic PINN inverse
+formulation.  These tests cover the grammar extension (named unknown
+coefficients in tpinn.core.pde) and end-to-end identification on two
+analytic benchmarks small enough for the CPU suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpinn.core import pde, sample
+from tpinn.core.inverse import InverseSpec, run_inverse, synth_observations
+from tpinn.core.train import ProblemSpec, StageSpec, TrainSpec
+
+PI = np.pi
+
+
+# ---------------------------------------------------------------------------
+# Grammar: Param nodes
+# ---------------------------------------------------------------------------
+
+
+def test_param_parse_and_evaluate():
+    p = pde.compile_pde("u_t - lam*u_xx", ("x", "t"), params=("lam",))
+    assert p.param_names == ("lam",)
+    assert p.is_linear  # affine in u for any fixed coefficient
+
+    f_u = lambda z: jnp.exp(-z[:, 1:2]) * jnp.sin(z[:, 0:1])
+    z = jnp.asarray(np.random.RandomState(0).rand(9, 2), jnp.float32)
+    # u_t = -u, u_xx = -u: residual = -u + lam*u — zero exactly at lam=1
+    r = p.residual(f_u, z, {"lam": jnp.float32(1.0)})
+    assert float(jnp.abs(r).max()) < 1e-5
+    r_half = p.residual(f_u, z, {"lam": jnp.float32(0.5)})
+    assert float(jnp.abs(r_half).max()) > 1e-2
+
+
+def test_param_gradient_flows():
+    p = pde.compile_pde("lam*u_xx + u", ("x",), params=("lam",))
+    f_u = lambda z: jnp.sin(z)
+    z = jnp.linspace(0.1, 1.0, 7)[:, None]
+    g = jax.grad(
+        lambda lam: jnp.sum(p.residual(f_u, z, {"lam": lam}) ** 2)
+    )(jnp.float32(0.3))
+    # d/dlam sum((lam*uxx + u)^2) = 2 sum((lam*uxx+u)*uxx); at lam=0.3 with
+    # uxx=-sin, u=sin: residual=0.7 sin, grad = -1.4 sum(sin^2)
+    expect = -1.4 * float(jnp.sum(jnp.sin(z) ** 2))
+    assert abs(float(g) - expect) < 1e-4
+
+
+def test_param_errors():
+    # undeclared identifier still rejected
+    with pytest.raises(pde.PDESyntaxError):
+        pde.compile_pde("u_x + lam*u", ("x",))
+    # name collisions rejected
+    for bad in ("x", "u", "sin", "pi"):
+        with pytest.raises(pde.PDESyntaxError):
+            pde.compile_pde("u_x", ("x",), params=(bad,))
+    # missing coefficient value at evaluation time
+    p = pde.compile_pde("lam*u_x", ("x",), params=("lam",))
+    with pytest.raises(KeyError):
+        p.residual(lambda z: z, jnp.ones((3, 1)))
+
+
+def test_forward_equations_unchanged():
+    # no params declared → identical behavior to the forward compiler
+    p = pde.compile_pde("u_xx + u_yy", ("x", "y"))
+    assert p.param_names == ()
+    f_u = lambda z: z[:, :1] ** 2 + z[:, 1:2] ** 2
+    z = jnp.asarray(np.random.RandomState(1).rand(5, 2), jnp.float32)
+    r = p.residual(f_u, z)
+    np.testing.assert_allclose(np.asarray(r), 4.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end identification
+# ---------------------------------------------------------------------------
+
+
+def _poisson_inverse_problem():
+    return ProblemSpec(
+        name="poisson_1d_inverse",
+        equation="lam*u_xx + sin(pi*x)",
+        coords=("x",), lb=(0.0,), ub=(1.0,),
+        bc_groups=(),
+        exact=lambda z: jnp.sin(PI * z[:, :1]),
+        hard_bc=("0", "x*(1-x)"),
+    )
+
+
+def test_recover_poisson_coefficient():
+    # -d/dx(lam u_xx) = f with u = sin(pi x): true lam = 1/pi^2
+    prob = _poisson_inverse_problem()
+    inv = InverseSpec(params=("lam",), init=(0.5,), n_obs=50)
+    spec = TrainSpec(
+        n_col=256, n_band=0, n_adaptive=64, n_bd=16,
+        stages=(StageSpec(depth=3, width=16,
+                          adam_epochs=400, lbfgs_epochs=150),),
+        grid=64, lw=(1.0, 0.0), testing_size=(201,), pad_features=3,
+        log_every=200,
+    )
+    r = run_inverse(prob, inv, spec)
+    true = 1.0 / PI**2
+    assert abs(r.coef["lam"] - true) / true < 5e-3
+    assert r.rel_l2 < 5e-3
+    # L-BFGS sharpened the Adam estimate
+    assert abs(r.coef["lam"] - true) <= abs(r.coef_adam["lam"] - true)
+    # history carries both phases with the widened loss_info (obs column)
+    assert r.history.shape[1] == 3 + 0 + 1 + 1
+
+
+def test_recover_heat_diffusivity():
+    # u_t = lam*u_xx with u = exp(-pi^2 t) sin(pi x): true lam = 1.
+    # Soft Dirichlet sides + the initial condition as a value_fn BC group
+    # (the standard inverse-heat setup); identification needs the deep
+    # L-BFGS polish — after Adam alone lam is still ~0.68.
+    prob = ProblemSpec(
+        name="heat_inverse",
+        equation="u_t - lam*u_xx",
+        coords=("x", "t"), lb=(0.0, 0.0), ub=(1.0, 0.5),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 0.5), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 0.5), value=0.0),
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0),
+                           value_fn=lambda z: jnp.sin(PI * z[:, :1])),
+        ),
+        exact=lambda z: jnp.exp(-PI**2 * z[:, 1:2]) * jnp.sin(PI * z[:, :1]),
+    )
+    inv = InverseSpec(params=("lam",), init=(0.3,), n_obs=120)
+    spec = TrainSpec(
+        n_col=384, n_band=0, n_adaptive=128, n_bd=32,
+        stages=(StageSpec(depth=3, width=24,
+                          adam_epochs=800, lbfgs_epochs=2400),),
+        grid=48, lw=(1.0, 0.0), testing_size=(64, 64), pad_features=3,
+        log_every=400,
+    )
+    r = run_inverse(prob, inv, spec)
+    assert abs(r.coef["lam"] - 1.0) < 1e-2
+    assert r.rel_l2 < 1e-2
+
+
+def test_noisy_observations_still_identify():
+    prob = _poisson_inverse_problem()
+    inv = InverseSpec(params=("lam",), init=(0.5,), n_obs=80,
+                      obs_noise=1e-3)
+    spec = TrainSpec(
+        n_col=256, n_band=0, n_adaptive=64, n_bd=16,
+        stages=(StageSpec(depth=3, width=16,
+                          adam_epochs=300, lbfgs_epochs=120),),
+        grid=64, lw=(1.0, 0.0), testing_size=(201,), pad_features=3,
+        log_every=200,
+    )
+    r = run_inverse(prob, inv, spec)
+    true = 1.0 / PI**2
+    assert abs(r.coef["lam"] - true) / true < 5e-2
+
+
+def test_user_supplied_observations():
+    prob = _poisson_inverse_problem()
+    inv = InverseSpec(params=("lam",), init=(0.2,), n_obs=40)
+    z_obs, u_obs = synth_observations(prob, inv, jnp.float32)
+    spec = TrainSpec(
+        n_col=192, n_band=0, n_adaptive=0, n_bd=16,
+        stages=(StageSpec(depth=3, width=16,
+                          adam_epochs=250, lbfgs_epochs=90),),
+        grid=64, lw=(1.0, 0.0), testing_size=(201,), pad_features=3,
+        log_every=200,
+    )
+    r = run_inverse(prob, inv, spec, observations=(z_obs, u_obs))
+    np.testing.assert_array_equal(r.z_obs, np.asarray(z_obs))
+    true = 1.0 / PI**2
+    assert abs(r.coef["lam"] - true) / true < 2e-2
+
+
+def test_synth_observations_requires_exact():
+    prob = ProblemSpec(
+        name="no_oracle", equation="lam*u_xx", coords=("x",),
+        lb=(0.0,), ub=(1.0,), bc_groups=(),
+    )
+    inv = InverseSpec(params=("lam",), init=(1.0,))
+    with pytest.raises(ValueError, match="analytic solution"):
+        synth_observations(prob, inv, jnp.float32)
+
+
+def test_inverse_spec_validation():
+    with pytest.raises(ValueError):
+        InverseSpec(params=("a", "b"), init=(1.0,))
+    with pytest.raises(ValueError):
+        InverseSpec(params=(), init=())

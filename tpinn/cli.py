@@ -6,6 +6,8 @@
     python -m tpinn app [--port 8050]   # the online PDE calculator
     python -m tpinn serve --checkpoint out/params_stage_1.npz \
         --problem poisson_2d
+    python -m tpinn invert --problem heat_2d --equation "u_t - lam*u_xx" \
+        --param lam=0.3        # coefficient identification from observations
 
 (The reference's only entries are the Dash dev server and a __main__ demo;
 a production framework needs a scriptable front door.)
@@ -106,6 +108,50 @@ def cmd_train(args):
     }))
 
 
+def cmd_invert(args):
+    import dataclasses
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from tpinn import problems
+    from tpinn.core.inverse import InverseSpec, run_inverse
+    from tpinn.core.train import StageSpec, TrainSpec
+
+    names, inits = [], []
+    for spec_str in args.param:
+        if "=" not in spec_str:
+            raise SystemExit(f"--param expects NAME=INIT, got {spec_str!r}")
+        n, v = spec_str.split("=", 1)
+        names.append(n.strip())
+        inits.append(float(v))
+
+    # the preset supplies domain/BCs/analytic oracle; the --equation
+    # override states the same physics with the coefficients unknown
+    problem = problems.get_problem(args.problem)
+    problem = dataclasses.replace(problem, equation=args.equation)
+
+    inv = InverseSpec(params=tuple(names), init=tuple(inits),
+                      n_obs=args.n_obs, obs_noise=args.obs_noise,
+                      obs_weight=args.obs_weight, obs_seed=args.obs_seed)
+    spec = TrainSpec(
+        n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
+        n_bd=args.n_bd, lw=(args.weight_f, 0.0), seed=args.seed,
+        pad_features=3,
+        stages=(StageSpec(depth=args.depth, width=args.width, scl=1.0,
+                          epsil=1.0, adam_epochs=args.adam,
+                          lbfgs_epochs=args.lbfgs),),
+    )
+    res = run_inverse(problem, inv, spec, print_log=True)
+    print(json.dumps({
+        "problem": args.problem, "equation": args.equation,
+        "coef": res.coef, "coef_adam": res.coef_adam,
+        "rel_l2": res.rel_l2, "n_obs": args.n_obs,
+        "obs_noise": args.obs_noise,
+    }))
+
+
 def cmd_app(args):
     from tpinn.app import lite
 
@@ -153,6 +199,36 @@ def main(argv=None):
                         "(core.ensemble.run_ensemble_training); the "
                         "combination record lands in OUT/ensemble.json")
 
+    i = sub.add_parser(
+        "invert",
+        help="identify unknown PDE coefficients from observations "
+             "(tpinn.core.inverse): the preset supplies domain/BCs/oracle, "
+             "--equation restates the physics with named unknowns, --param "
+             "NAME=INIT declares them")
+    i.add_argument("--problem", required=True,
+                   help="preset providing domain/BCs/analytic solution")
+    i.add_argument("--equation", required=True,
+                   help="equation with unknown coefficients, e.g. "
+                        "'u_t - lam*u_xx'")
+    i.add_argument("--param", action="append", required=True,
+                   metavar="NAME=INIT",
+                   help="unknown coefficient + initial guess (repeatable)")
+    i.add_argument("--n-obs", type=int, default=200)
+    i.add_argument("--obs-noise", type=float, default=0.0)
+    i.add_argument("--obs-weight", type=float, default=1.0)
+    i.add_argument("--obs-seed", type=int, default=0)
+    i.add_argument("--adam", type=int, default=4000)
+    i.add_argument("--lbfgs", type=int, default=3000)
+    i.add_argument("--depth", type=int, default=4)
+    i.add_argument("--width", type=int, default=32)
+    i.add_argument("--n-col", type=int, default=2000)
+    i.add_argument("--n-band", type=int, default=0)
+    i.add_argument("--n-adaptive", type=int, default=500)
+    i.add_argument("--n-bd", type=int, default=100)
+    i.add_argument("--weight-f", type=float, default=1.0)
+    i.add_argument("--seed", type=int, default=1234)
+    i.add_argument("--platform", default=None)
+
     a = sub.add_parser("app", help="launch the web calculator")
     a.add_argument("--port", type=int, default=8050)
     a.add_argument("--data-root", default="data")
@@ -164,7 +240,7 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     {"problems": cmd_problems, "train": cmd_train, "app": cmd_app,
-     "serve": cmd_serve}[args.cmd](args)
+     "serve": cmd_serve, "invert": cmd_invert}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -134,10 +134,26 @@ class Coord(Node):
 
 
 @dataclass(frozen=True)
+class Param(Node):
+    """A named unknown coefficient (inverse problems): evaluated from the
+    ``coef`` dict passed at residual time, so it can be a traced scalar that
+    the optimizer trains jointly with the network (tpinn.core.inverse)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class UDeriv(Node):
-    """Value of u (empty index) or a partial derivative of u."""
+    """Value (empty index) or partial derivative of a solution field.
+
+    ``field`` selects the component for COUPLED SYSTEMS (compile_system):
+    0 for the scalar case, the position in ``fields`` otherwise — the
+    derivative engine computes all components' partials in the same shared
+    forward passes (deriv.partials of an [N, m]-valued net), and evaluation
+    slices the component column."""
 
     index: MultiIndex
+    field: int = 0
 
 
 @dataclass(frozen=True)
@@ -162,11 +178,33 @@ class Call(Node):
 class _Parser:
     """Recursive descent: expr > term > unary > power > atom."""
 
-    def __init__(self, tokens: List[Token], coords: Sequence[str]):
+    def __init__(
+        self,
+        tokens: List[Token],
+        coords: Sequence[str],
+        params: Sequence[str] = (),
+        fields: Sequence[str] = ("u",),
+    ):
         self.tokens = tokens
         self.i = 0
         self.coords = list(coords)
         self.coord_index = {c: k for k, c in enumerate(coords)}
+        self.fields = list(fields)
+        self.field_index = {f: k for k, f in enumerate(fields)}
+        self.params = set(params)
+        reserved = set(coords) | set(_FUNCTIONS) | set(_CONSTANTS)
+        bad = self.params & (reserved | set(fields))
+        if bad:
+            raise PDESyntaxError(
+                f"parameter names {sorted(bad)} collide with coordinates/"
+                f"functions/constants/fields"
+            )
+        bad_f = set(fields) & reserved
+        if bad_f:
+            raise PDESyntaxError(
+                f"field names {sorted(bad_f)} collide with coordinates/"
+                f"functions/constants"
+            )
 
     def peek(self) -> Optional[Token]:
         return self.tokens[self.i] if self.i < len(self.tokens) else None
@@ -240,28 +278,36 @@ class _Parser:
             return Call(name, arg)
         if name in _CONSTANTS and name not in self.coord_index:
             return Const(name)
-        if name == "u":
-            return UDeriv(())
-        if name.startswith("u_") and len(name) > 2:
-            suffix = name[2:]
-            idx: List[int] = []
-            for ch in suffix:
-                if ch not in self.coord_index:
-                    raise PDESyntaxError(
-                        f"derivative suffix {ch!r} in {name!r} is not one of the "
-                        f"coordinates {self.coords}"
-                    )
-                idx.append(self.coord_index[ch])
-            return UDeriv(tuple(sorted(idx)))
+        if name in self.field_index:
+            return UDeriv((), self.field_index[name])
+        if "_" in name:
+            head, _, suffix = name.partition("_")
+            if head in self.field_index and suffix:
+                idx: List[int] = []
+                for ch in suffix:
+                    if ch not in self.coord_index:
+                        raise PDESyntaxError(
+                            f"derivative suffix {ch!r} in {name!r} is not one "
+                            f"of the coordinates {self.coords}"
+                        )
+                    idx.append(self.coord_index[ch])
+                return UDeriv(tuple(sorted(idx)), self.field_index[head])
         if name in self.coord_index:
             return Coord(self.coord_index[name], name)
+        if name in self.params:
+            return Param(name)
         raise PDESyntaxError(
             f"unknown identifier {name!r} at position {tok.pos}; coordinates are "
             f"{self.coords}"
         )
 
 
-def parse(expr: str, coords: Sequence[str]) -> Node:
+def parse(
+    expr: str,
+    coords: Sequence[str],
+    params: Sequence[str] = (),
+    fields: Sequence[str] = ("u",),
+) -> Node:
     """Parse an expression (or ``lhs = rhs``) into an AST."""
     s = expr.strip()
     if not s:
@@ -271,9 +317,10 @@ def parse(expr: str, coords: Sequence[str]) -> Node:
         if len(parts) != 2:
             raise PDESyntaxError("more than one '=' in equation")
         lhs, rhs = parts
-        return BinOp("-", parse(lhs, coords), parse(rhs, coords))
+        return BinOp("-", parse(lhs, coords, params, fields),
+                     parse(rhs, coords, params, fields))
     tokens = tokenize(s)
-    p = _Parser(tokens, coords)
+    p = _Parser(tokens, coords, params, fields)
     node = p.parse_expr()
     if p.peek() is not None:
         tok = p.peek()
@@ -305,7 +352,7 @@ def is_linear_in_u(node: Node) -> bool:
     least-squares polish (tpinn.core.polish): the residual is then affine
     in the output layer's weights.  Conservative: anything structurally
     ambiguous (u inside a function, u**p, u·u_x) reports nonlinear."""
-    if isinstance(node, (Num, Const, Coord, UDeriv)):
+    if isinstance(node, (Num, Const, Coord, UDeriv, Param)):
         return True
     if isinstance(node, Unary):
         return is_linear_in_u(node.operand)
@@ -350,7 +397,12 @@ def collect_indices(node: Node) -> Set[MultiIndex]:
     return out
 
 
-def _evaluate(node: Node, z: Array, u_parts: Dict[MultiIndex, Array]) -> Array:
+def _evaluate(
+    node: Node,
+    z: Array,
+    u_parts: Dict[MultiIndex, Array],
+    coef: Optional[Dict[str, Array]] = None,
+) -> Array:
     if isinstance(node, Num):
         return jnp.asarray(node.value, dtype=z.dtype)
     if isinstance(node, Const):
@@ -358,14 +410,30 @@ def _evaluate(node: Node, z: Array, u_parts: Dict[MultiIndex, Array]) -> Array:
     if isinstance(node, Coord):
         return z[:, node.index : node.index + 1]
     if isinstance(node, UDeriv):
-        return u_parts[node.index]
+        part = u_parts[node.index]
+        if node.field >= part.shape[1]:
+            raise ValueError(
+                f"equation reads field column {node.field} but the predictor "
+                f"outputs {part.shape[1]} component(s) — out_dim must match "
+                f"the system's field count"
+            )
+        if node.field == 0 and part.shape[1] == 1:
+            return part  # scalar fast path: no slice node
+        return part[:, node.field : node.field + 1]
+    if isinstance(node, Param):
+        if coef is None or node.name not in coef:
+            raise KeyError(
+                f"equation parameter {node.name!r} has no value; pass "
+                f"coef={{'{node.name}': ...}} to residual/evaluate"
+            )
+        return jnp.asarray(coef[node.name], dtype=z.dtype)
     if isinstance(node, Unary):
-        return -_evaluate(node.operand, z, u_parts)
+        return -_evaluate(node.operand, z, u_parts, coef)
     if isinstance(node, Call):
-        return _FUNCTIONS[node.fn](_evaluate(node.arg, z, u_parts))
+        return _FUNCTIONS[node.fn](_evaluate(node.arg, z, u_parts, coef))
     if isinstance(node, BinOp):
-        a = _evaluate(node.left, z, u_parts)
-        b = _evaluate(node.right, z, u_parts)
+        a = _evaluate(node.left, z, u_parts, coef)
+        b = _evaluate(node.right, z, u_parts, coef)
         if node.op == "+":
             return a + b
         if node.op == "-":
@@ -391,17 +459,36 @@ class CompiledPDE:
     coords: Tuple[str, ...]
     ast: Node
     indices: frozenset
+    # named unknown coefficients (inverse problems, tpinn.core.inverse);
+    # residual/evaluate then require coef={name: scalar}
+    param_names: Tuple[str, ...] = ()
 
-    def residual(self, f_u: Callable[[Array], Array], z: Array) -> Array:
+    def residual(
+        self,
+        f_u: Callable[[Array], Array],
+        z: Array,
+        coef: Optional[Dict[str, Array]] = None,
+    ) -> Array:
         u_parts = deriv.partials(f_u, z, self.indices)
-        return _evaluate(self.ast, z, u_parts)
+        return _evaluate(self.ast, z, u_parts, coef)
 
-    def evaluate(self, z: Array, u_parts: Dict[MultiIndex, Array]) -> Array:
+    def evaluate(
+        self,
+        z: Array,
+        u_parts: Dict[MultiIndex, Array],
+        coef: Optional[Dict[str, Array]] = None,
+    ) -> Array:
         """Evaluate the residual from precomputed u-partials (the fused
         Taylor-2 path supplies these, tpinn.core.taylor)."""
-        return _evaluate(self.ast, z, u_parts)
+        return _evaluate(self.ast, z, u_parts, coef)
 
-    def residual_fast(self, predictor, params, z: Array) -> Array:
+    def residual_fast(
+        self,
+        predictor,
+        params,
+        z: Array,
+        coef: Optional[Dict[str, Array]] = None,
+    ) -> Array:
         """Residual via the structure-aware fused engine when the predictor
         advertises one (order ≤ 2), generic nested-jvp otherwise."""
         from tpinn.core import taylor
@@ -409,10 +496,15 @@ class CompiledPDE:
         parts = taylor.fast_partials(
             predictor, params, z, self.indices, self.max_order
         )
-        return _evaluate(self.ast, z, parts)
+        return _evaluate(self.ast, z, parts, coef)
 
-    def __call__(self, f_u: Callable[[Array], Array], z: Array) -> Array:
-        return self.residual(f_u, z)
+    def __call__(
+        self,
+        f_u: Callable[[Array], Array],
+        z: Array,
+        coef: Optional[Dict[str, Array]] = None,
+    ) -> Array:
+        return self.residual(f_u, z, coef)
 
     @property
     def max_order(self) -> int:
@@ -425,18 +517,26 @@ class CompiledPDE:
         return is_linear_in_u(self.ast)
 
 
-def compile_pde(equation: str, coords: Sequence[str]) -> CompiledPDE:
+def compile_pde(
+    equation: str, coords: Sequence[str], params: Sequence[str] = ()
+) -> CompiledPDE:
     """Compile an equation string over the named coordinates.
 
     >>> pde = compile_pde("u_rr + 1/r*u_r + 1/r**2*u_tt", coords=("r", "t"))
     >>> f = pde.residual(f_u, z)   # [N, 1] residual at collocation points
+
+    ``params`` declares named unknown coefficients (e.g. ``("lam",)`` for
+    ``"u_t - lam*u_xx"``); the residual then takes ``coef={"lam": value}``
+    where the value may be a traced scalar trained jointly with the network
+    (tpinn.core.inverse).
     """
-    ast = parse(equation, coords)
+    ast = parse(equation, coords, params)
     return CompiledPDE(
         equation=equation,
         coords=tuple(coords),
         ast=ast,
         indices=frozenset(collect_indices(ast)),
+        param_names=tuple(params),
     )
 
 
@@ -483,6 +583,95 @@ def validate_equation(expr: str, coords: Sequence[str] = ("x", "y", "r", "t")) -
         return True
     except PDESyntaxError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Coupled systems: several equations over several solution fields, one
+# multi-output network.  The reference is strictly scalar (one hardcoded
+# residual, software.py:283-297); here `fields=("u", "v")` makes
+# identifiers u, v, u_x, v_xy… legal and the compiled residual stacks one
+# column per equation.  All fields' derivatives come out of the SAME
+# forward-mode passes (deriv.partials of the [N, m]-valued net) — coupling
+# is free at the derivative-engine level.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CompiledSystem:
+    """Compiled equation system: ``residual(f, z[, coef]) -> [N, n_eq]``.
+
+    ``f`` is the stacked predictor ``z -> [N, len(fields)]``; ``indices``
+    is the union of derivative multi-indices over all equations (each
+    computed once for all fields)."""
+
+    equations: Tuple[str, ...]
+    coords: Tuple[str, ...]
+    fields: Tuple[str, ...]
+    asts: Tuple[Node, ...]
+    indices: frozenset
+    param_names: Tuple[str, ...] = ()
+
+    @property
+    def n_eq(self) -> int:
+        return len(self.asts)
+
+    @property
+    def max_order(self) -> int:
+        return max((len(ix) for ix in self.indices), default=0)
+
+    @property
+    def is_linear(self) -> bool:
+        return all(is_linear_in_u(a) for a in self.asts)
+
+    def residual(
+        self,
+        f: Callable[[Array], Array],
+        z: Array,
+        coef: Optional[Dict[str, Array]] = None,
+    ) -> Array:
+        parts = deriv.partials(f, z, self.indices)
+        return self.evaluate(z, parts, coef)
+
+    def evaluate(
+        self,
+        z: Array,
+        u_parts: Dict[MultiIndex, Array],
+        coef: Optional[Dict[str, Array]] = None,
+    ) -> Array:
+        cols = [_evaluate(a, z, u_parts, coef) for a in self.asts]
+        return jnp.concatenate(
+            [jnp.broadcast_to(c, (z.shape[0], 1)) for c in cols], axis=1
+        )
+
+    def __call__(self, f, z, coef=None):
+        return self.residual(f, z, coef)
+
+
+def compile_system(
+    equations: Sequence[str],
+    coords: Sequence[str],
+    fields: Sequence[str],
+    params: Sequence[str] = (),
+) -> CompiledSystem:
+    """Compile a coupled system over named coordinates and solution fields.
+
+    >>> sys = compile_system(["u_x - v", "v_x + pi**2*u"], ("x",), ("u", "v"))
+    >>> f_sys = sys.residual(f_uv, z)    # [N, 2] residual columns
+    """
+    if not equations:
+        raise PDESyntaxError("a system needs at least one equation")
+    if len(set(fields)) != len(fields):
+        raise PDESyntaxError(f"duplicate field names in {tuple(fields)}")
+    asts = tuple(parse(e, coords, params, fields) for e in equations)
+    indices = frozenset().union(*(collect_indices(a) for a in asts))
+    return CompiledSystem(
+        equations=tuple(equations),
+        coords=tuple(coords),
+        fields=tuple(fields),
+        asts=asts,
+        indices=indices,
+        param_names=tuple(params),
+    )
 
 
 # ---------------------------------------------------------------------------
