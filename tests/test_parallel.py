@@ -178,3 +178,83 @@ def test_run_training_with_mesh(mesh8, tmp_path):
     # counts were rounded to the points-axis size (4 with ensemble=2... this
     # mesh is (1, 8)): 128/32/32/16 are already multiples of 8
     assert res.history.shape[0] > 40
+
+
+# ---------------------------------------------------------------------------
+# Round-4 capabilities under the mesh: inverse + coupled systems
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_inverse_loss_grad_matches(mesh8):
+    """The joint {"net","coef"} pytree rides the points-sharded loss with
+    bitwise-meaningful parity: loss and gradients (including d/dcoef)
+    match the single-device values."""
+    from tpinn.core.inverse import make_inverse_loss
+
+    problem = problems.poisson_2d()
+    compiled = pde.compile_pde("lam*(u_xx + u_yy) + 2*pi**2*sin(pi*x)*sin(pi*y)",
+                               problem.coords, params=("lam",))
+    fm = net.feature_map_for(problem.feature_kinds)
+    mspec = net.MLPSpec(depth=2, width=16)
+    net_p = net.init_params(jax.random.PRNGKey(0), mspec, fm, jnp.float32)
+    predictor = net.make_predictor(
+        mspec, fm, jnp.asarray(problem.lb), jnp.asarray(problem.ub))
+    params = {"net": net_p, "coef": {"lam": jnp.float32(0.7)}}
+
+    z_obs = jax.random.uniform(jax.random.PRNGKey(7), (24, 2))
+    u_obs = jnp.sin(jnp.pi * z_obs[:, :1]) * jnp.sin(jnp.pi * z_obs[:, 1:2])
+    loss_fn = make_inverse_loss(predictor, compiled, z_obs, u_obs)
+
+    cfg = sample.SamplerConfig(n_col=128, n_band=32, n_adaptive=32, n_bd=16,
+                               grid=21)
+    sample_fn, grids = sample.make_sampler(
+        cfg, problem.bc_groups, problem.lb, problem.ub, jnp.float32)
+    data = sample_fn(jax.random.PRNGKey(1), jnp.ones_like(grids[0]))
+    lw = jnp.array([1.0, 0.0])
+    ref = jnp.array(1.0)
+
+    (l1, _), g1 = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+        params, data, lw, ref)
+    ploss = parallel.make_parallel_loss(loss_fn, mesh8)
+    data_s = parallel.shard_data(data, mesh8)
+    (l2, _), g2 = jax.jit(jax.value_and_grad(ploss, has_aux=True))(
+        params, data_s, lw, ref)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-6)
+    np.testing.assert_allclose(float(g1["coef"]["lam"]),
+                               float(g2["coef"]["lam"]), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1["net"]),
+                    jax.tree_util.tree_leaves(g2["net"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_run_system_with_mesh(mesh8):
+    """Coupled-system inverse identification end-to-end under the mesh."""
+    from tpinn.core.inverse import InverseSpec
+    from tpinn.core.system import SystemSpec, run_system
+    from tpinn.core.train import StageSpec, TrainSpec
+
+    PI = np.pi
+    prob = SystemSpec(
+        name="osc_inverse_mesh",
+        equations=("u_x - v", "v_x + w2*u"),
+        fields=("u", "v"), coords=("x",), lb=(0.0,), ub=(1.0,),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0,), hi=(0.0,), value=0.0, field=0),
+        ),
+        exact=lambda z: jnp.concatenate(
+            [jnp.sin(PI * z[:, :1]), PI * jnp.cos(PI * z[:, :1])], axis=1),
+    )
+    inv = InverseSpec(params=("w2",), init=(5.0,), n_obs=80)
+    spec = TrainSpec(
+        n_col=256, n_band=0, n_adaptive=64, n_bd=16,
+        stages=(StageSpec(depth=3, width=24,
+                          adam_epochs=400, lbfgs_epochs=600),),
+        grid=64, lw=(1.0, 0.0), testing_size=(201,), pad_features=3,
+        log_every=200,
+    )
+    r = run_system(prob, spec, inverse=inv, mesh=mesh8)
+    assert abs(r.coef["w2"] - PI**2) / PI**2 < 5e-2
+    assert r.rel_l2 is not None and r.rel_l2 < 2e-2

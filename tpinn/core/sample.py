@@ -194,6 +194,9 @@ class BCGroup:
     value: float = 0.0
     value_fn: Optional[Callable[[Array], Array]] = None
     value_expr: Optional[str] = None
+    # which solution component this group pins (coupled systems,
+    # tpinn.core.system; scalar problems leave the default 0)
+    field: int = 0
 
     def target(self, pts: Array) -> Array:
         if self.value_fn is not None:
