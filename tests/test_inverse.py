@@ -7,6 +7,8 @@ coefficients in tpinn.core.pde) and end-to-end identification on two
 analytic benchmarks small enough for the CPU suite.
 """
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,3 +192,33 @@ def test_inverse_spec_validation():
         InverseSpec(params=("a", "b"), init=(1.0,))
     with pytest.raises(ValueError):
         InverseSpec(params=(), init=())
+
+
+def test_inverse_checkpoint_serves(tmp_path):
+    """run_inverse(output_dir=...) writes a servable checkpoint: the serve
+    loader rebuilds the predictor WITHOUT a problem preset and evaluates
+    the residual at the recovered coefficient values."""
+    prob = _poisson_inverse_problem()
+    inv = InverseSpec(params=("lam",), init=(0.5,), n_obs=40)
+    spec = TrainSpec(
+        n_col=192, n_band=0, n_adaptive=0, n_bd=16,
+        stages=(StageSpec(depth=3, width=16,
+                          adam_epochs=200, lbfgs_epochs=90),),
+        grid=64, lw=(1.0, 0.0), testing_size=(101,), pad_features=3,
+        log_every=200,
+    )
+    r = run_inverse(prob, inv, spec, output_dir=str(tmp_path))
+    assert (tmp_path / "params_stage_1.npz").exists()
+    rec = json.loads((tmp_path / "inverse.json").read_text())
+    assert rec["coef"]["lam"] == pytest.approx(r.coef["lam"])
+
+    from tpinn.app.serve import PINNServer
+
+    srv = PINNServer(str(tmp_path / "params_stage_1.npz"))  # no preset
+    assert srv._coef is not None
+    z = np.linspace(0.1, 0.9, 9)[:, None].tolist()
+    u_served = np.asarray(srv.predict(z))
+    u_train = np.asarray(r.predict(jnp.asarray(z, jnp.float32)))[:, 0]
+    np.testing.assert_allclose(u_served, u_train, rtol=1e-5, atol=1e-6)
+    f = np.asarray(srv.residual(z))
+    assert np.all(np.isfinite(f)) and float(np.abs(f).max()) < 1.0

@@ -218,3 +218,44 @@ def test_system_loss_info_layout():
         float(info[0]), float(info[1] + info[2]), rtol=1e-6)
     np.testing.assert_allclose(
         float(info[2]), float(info[4] + info[5]), rtol=1e-6)
+
+
+def test_system_checkpoint_serves(tmp_path):
+    """run_system(output_dir=...) writes a self-describing checkpoint;
+    serve rebuilds the multi-output predictor with no preset, /predict
+    returns one m-column row per point, /residual one column per
+    equation."""
+    prob = SystemSpec(
+        name="osc_system_ckpt",
+        equations=("u_x - v", "v_x + pi**2*u"),
+        fields=("u", "v"), coords=("x",), lb=(0.0,), ub=(1.0,),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0,), hi=(0.0,), value=0.0, field=0),
+            sample.BCGroup(lo=(0.0,), hi=(0.0,), value=float(PI), field=1),
+        ),
+        exact=_osc_exact,
+    )
+    spec = TrainSpec(
+        n_col=192, n_band=0, n_adaptive=0, n_bd=16,
+        stages=(StageSpec(depth=3, width=16,
+                          adam_epochs=200, lbfgs_epochs=90),),
+        grid=64, lw=(1.0, 0.0), testing_size=(101,), pad_features=3,
+        log_every=200,
+    )
+    r = run_system(prob, spec, output_dir=str(tmp_path))
+    assert (tmp_path / "params_stage_1.npz").exists()
+    import json as _json
+
+    rec = _json.loads((tmp_path / "system.json").read_text())
+    assert rec["fields"] == ["u", "v"]
+
+    from tpinn.app.serve import PINNServer
+
+    srv = PINNServer(str(tmp_path / "params_stage_1.npz"))  # no preset
+    z = np.linspace(0.0, 1.0, 7)[:, None].tolist()
+    u_served = np.asarray(srv.predict(z))
+    assert u_served.shape == (7, 2)
+    u_train = np.asarray(r.predict(jnp.asarray(z, jnp.float32)))
+    np.testing.assert_allclose(u_served, u_train, rtol=1e-5, atol=1e-6)
+    f = np.asarray(srv.residual(z))
+    assert f.shape == (7, 2) and np.all(np.isfinite(f))

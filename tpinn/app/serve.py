@@ -29,7 +29,7 @@ import numpy as np
 
 
 class PINNServer:
-    def __init__(self, checkpoint: str, problem_name: str,
+    def __init__(self, checkpoint: str, problem_name: Optional[str] = None,
                  depth: Optional[int] = None, width: Optional[int] = None,
                  deflate: str = "off"):
         import jax
@@ -41,10 +41,7 @@ class PINNServer:
 
         self.jnp = jnp
         self.jax = jax
-        problem = problems.get_problem(problem_name)
-        self.problem = problem
-        self.compiled = pde.compile_pde(problem.equation, problem.coords)
-        fm = net.feature_map_for(problem.feature_kinds)
+        self._coef = None
 
         # ensemble record (core.ensemble.run_ensemble_training output dir):
         # serve the convex combination of member checkpoints plus the
@@ -55,6 +52,11 @@ class PINNServer:
         if cpath.is_dir() and (cpath / "ensemble.json").exists():
             cpath = cpath / "ensemble.json"
         if cpath.name == "ensemble.json":
+            if problem_name is None:
+                raise ValueError("ensemble serving needs --problem")
+            problem = problems.get_problem(problem_name)
+            self.problem = problem
+            self.compiled = pde.compile_pde(problem.equation, problem.coords)
             ens = json.loads(cpath.read_text())
             base = cpath.parent
             subs = [PINNServer(str(base / m), problem_name)
@@ -87,11 +89,58 @@ class PINNServer:
         raw = np.load(checkpoint)
         meta = json.loads(bytes(raw["__meta__"]).decode()) if "__meta__" in raw \
             else {}
+        sysm = meta.get("system")
+        coefm = meta.get("coef") or {}
+        if problem_name is not None:
+            problem = problems.get_problem(problem_name)
+        else:
+            # self-describing checkpoint (run_system / run_inverse metas
+            # carry the full problem record) — no preset needed
+            if "coords" not in meta or "lb" not in meta:
+                raise ValueError(
+                    "--problem is required: this checkpoint's meta does not "
+                    "describe its own domain/equation")
+            from types import SimpleNamespace
+
+            eq = (meta.get("equation")
+                  or ("; ".join(sysm["equations"]) if sysm else ""))
+            if not eq:
+                raise ValueError(
+                    "--problem is required: this (forward) checkpoint's "
+                    "meta has no equation record")
+            problem = SimpleNamespace(
+                name=meta.get("problem", "checkpoint"),
+                coords=tuple(meta["coords"]), dim=len(meta["coords"]),
+                equation=eq,
+                feature_kinds=tuple(meta.get("feature_kinds") or ()),
+                lb=tuple(meta["lb"]), ub=tuple(meta["ub"]),
+                source=None, bc_groups=(),
+            )
+        self.problem = problem
+        coords = tuple(meta.get("coords", problem.coords))
+        if sysm:
+            # coupled system: residual has one column per equation
+            self.compiled = pde.compile_system(
+                sysm["equations"], coords, sysm["fields"],
+                params=tuple(coefm))
+        elif meta.get("inverse") and meta.get("equation"):
+            # identified model: the equation's unknown coefficients are
+            # evaluated at their RECOVERED values below
+            self.compiled = pde.compile_pde(meta["equation"], coords,
+                                            params=tuple(coefm))
+        else:
+            self.compiled = pde.compile_pde(problem.equation, problem.coords)
+        if coefm:
+            self._coef = {k: jnp.float32(v) for k, v in coefm.items()}
+        if (sysm or coefm) and deflate != "off":
+            raise ValueError(
+                "--deflate targets scalar forward checkpoints; system/"
+                "identified checkpoints have no spectral correction path")
+        fm = net.feature_map_for(
+            tuple(meta.get("feature_kinds") or problem.feature_kinds),
+            pad_to=meta.get("pad_features", 0))
         lb = jnp.asarray(meta.get("lb", problem.lb))
         ub = jnp.asarray(meta.get("ub", problem.ub))
-        if meta.get("feature_kinds"):
-            fm = net.feature_map_for(tuple(meta["feature_kinds"]),
-                                     pad_to=meta.get("pad_features", 0))
         if "chain" in meta:
             # rebuild the full multilevel chain exactly as trained — every
             # stage's act_first/scl/epsil comes from the saved spec, and the
@@ -161,9 +210,18 @@ class PINNServer:
             predictor = lambda p, z: _raw(p, z) - _term(z)
         self.predictor = predictor
         self._predict = jax.jit(self.predictor)
-        self._residual = jax.jit(
-            lambda p, z: self.compiled.residual_fast(self.predictor, p, z)
-        )
+        if hasattr(self.compiled, "residual_fast"):
+            self._residual = jax.jit(
+                lambda p, z: self.compiled.residual_fast(
+                    self.predictor, p, z, self._coef)
+            )
+        else:
+            # CompiledSystem: generic forward-mode residual, one column
+            # per equation, coefficients at their recovered values
+            self._residual = jax.jit(
+                lambda p, z: self.compiled.residual(
+                    lambda zz: self.predictor(p, zz), z, self._coef)
+            )
 
     @staticmethod
     def _tier(n: int) -> int:
@@ -185,8 +243,12 @@ class PINNServer:
         padded = np.zeros((tier, pts.shape[1]), np.float32)
         padded[:n] = pts
         padded[n:] = pts[-1] if n else 0.5
-        out = fn(self.params, jnp.asarray(padded))
-        return np.asarray(out)[:n, 0].tolist()
+        out = np.asarray(fn(self.params, jnp.asarray(padded)))[:n]
+        if out.ndim == 2 and out.shape[1] > 1:
+            # coupled systems: one row per point (fields for /predict,
+            # equation columns for /residual)
+            return out.tolist()
+        return out[:, 0].tolist()
 
     def predict(self, points):
         return self._eval(self._predict, points)
@@ -210,8 +272,14 @@ def make_handler(server: PINNServer):
 
         def do_GET(self):
             if self.path == "/health":
-                self._json({"ok": True, "problem": server.problem.name,
-                            "equation": server.problem.equation})
+                info = {"ok": True, "problem": server.problem.name,
+                        "equation": server.problem.equation}
+                if server._coef is not None:
+                    info["coef"] = {k: float(v)
+                                    for k, v in server._coef.items()}
+                if hasattr(server.compiled, "fields"):
+                    info["fields"] = list(server.compiled.fields)
+                self._json(info)
             else:
                 self._json({"error": "not found"}, 404)
 
@@ -235,7 +303,10 @@ def make_handler(server: PINNServer):
 def main():  # pragma: no cover
     p = argparse.ArgumentParser(description="serve a trained tpinn model")
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--problem", required=True)
+    p.add_argument("--problem", default=None,
+                   help="problem preset; optional for self-describing "
+                        "checkpoints (run_inverse/run_system metas carry "
+                        "their own domain + equations)")
     p.add_argument("--port", type=int, default=8060)
     # the axon TPU plugin ignores JAX_PLATFORMS=cpu; only the config flag
     # pins the platform reliably (set BEFORE any device use)

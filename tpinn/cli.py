@@ -143,7 +143,8 @@ def cmd_invert(args):
                           epsil=1.0, adam_epochs=args.adam,
                           lbfgs_epochs=args.lbfgs),),
     )
-    res = run_inverse(problem, inv, spec, print_log=True)
+    res = run_inverse(problem, inv, spec, print_log=True,
+                      output_dir=args.out)
     print(json.dumps({
         "problem": args.problem, "equation": args.equation,
         "coef": res.coef, "coef_adam": res.coef_adam,
@@ -228,6 +229,10 @@ def main(argv=None):
     i.add_argument("--weight-f", type=float, default=1.0)
     i.add_argument("--seed", type=int, default=1234)
     i.add_argument("--platform", default=None)
+    i.add_argument("--out", default=None,
+                   help="write a servable checkpoint (params_stage_1.npz "
+                        "with the identified equation/coefficients in the "
+                        "meta) + inverse.json record")
 
     a = sub.add_parser("app", help="launch the web calculator")
     a.add_argument("--port", type=int, default=8050)

@@ -156,6 +156,7 @@ def run_inverse(
     log_fn: Optional[Callable] = None,
     print_log: bool = False,
     mesh=None,
+    output_dir: Optional[str] = None,
 ) -> InverseResult:
     """Identify the equation's unknown coefficients from observations.
 
@@ -355,6 +356,40 @@ def run_inverse(
 
     history = (np.concatenate([hist_adam, hist_lbfgs], axis=0)
                if hist_lbfgs.size else hist_adam)
+
+    if output_dir is not None:
+        # standard single-stage checkpoint (net params + spec chain) with
+        # the identified equation/coefficients in the meta — servable by
+        # tpinn.app.serve exactly like a forward checkpoint, /residual
+        # evaluated at the RECOVERED coefficient values
+        import json
+        from pathlib import Path
+
+        from tpinn.utils.checkpoint import save_pytree
+
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        save_pytree(
+            out / "params_stage_1.npz", net_final,
+            meta={"stage": 1, "scl": mspec.scl, "epsil": mspec.epsil,
+                  "problem": problem.name,
+                  "chain": [net.spec_to_dict(mspec)],
+                  "feature_kinds": list(problem.feature_kinds),
+                  "lb": list(problem.lb), "ub": list(problem.ub),
+                  "hard_bc": (list(problem.hard_bc)
+                              if problem.hard_bc else None),
+                  "coords": list(problem.coords),
+                  "pad_features": spec.pad_features,
+                  "equation": problem.equation,
+                  "coef": coef, "inverse": True},
+        )
+        (out / "inverse.json").write_text(json.dumps({
+            "problem": problem.name, "equation": problem.equation,
+            "coef": coef, "coef_adam": coef_adam, "rel_l2": rel_l2,
+            "n_obs": int(z_obs.shape[0]), "obs_noise": inv.obs_noise,
+        }, indent=1))
+        log(f"inverse: checkpoint + record written to {out}")
+
     return InverseResult(
         coef=coef, coef_adam=coef_adam, rel_l2=rel_l2, params=params,
         predict=predict, history=history,

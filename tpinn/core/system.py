@@ -149,6 +149,7 @@ def run_system(
     log_fn: Optional[Callable] = None,
     print_log: bool = False,
     mesh=None,
+    output_dir: Optional[str] = None,
 ) -> SystemResult:
     """Train a coupled system: single-stage Adam → L-BFGS.
 
@@ -344,6 +345,42 @@ def run_system(
 
     history = (np.concatenate([hist_adam, hist_lbfgs], axis=0)
                if hist_lbfgs.size else hist_adam)
+
+    if output_dir is not None:
+        # self-describing checkpoint: the meta carries the full system
+        # (equations/fields/domain), so tpinn.app.serve can rebuild the
+        # multi-output predictor WITHOUT a problem preset (--problem
+        # optional); /predict returns one row per point with m columns
+        import json
+        from pathlib import Path
+
+        from tpinn.utils.checkpoint import save_pytree
+
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        save_pytree(
+            out / "params_stage_1.npz", net_final,
+            meta={"stage": 1, "scl": mspec.scl, "epsil": mspec.epsil,
+                  "problem": problem.name,
+                  "chain": [net.spec_to_dict(mspec)],
+                  "feature_kinds": list(problem.feature_kinds),
+                  "lb": list(problem.lb), "ub": list(problem.ub),
+                  "hard_bc": None,
+                  "coords": list(problem.coords),
+                  "pad_features": spec.pad_features,
+                  "system": {"equations": list(problem.equations),
+                             "fields": list(problem.fields)},
+                  "coef": coef},
+        )
+        (out / "system.json").write_text(json.dumps({
+            "problem": problem.name,
+            "equations": list(problem.equations),
+            "fields": list(problem.fields),
+            "coef": coef, "rel_l2": rel_l2,
+            "rel_l2_fields": (list(rel_fields) if rel_fields else None),
+        }, indent=1))
+        log(f"system: checkpoint + record written to {out}")
+
     return SystemResult(
         rel_l2=rel_l2, rel_l2_fields=rel_fields, coef=coef, params=params,
         predict=predict, history=history,
