@@ -85,6 +85,7 @@ def make_inverse_loss(
     source_fn: Optional[Callable[[Array], Array]] = None,
     residual_weight_fn: Optional[Callable[[Array], Array]] = None,
     obs_weight: float = 1.0,
+    bc_operators=None,
 ):
     """Joint loss over ``params = {"net": net_pytree, "coef": {name: scalar}}``.
 
@@ -100,8 +101,13 @@ def make_inverse_loss(
         f_u = lambda z: predictor(net_p, z)
 
         data_errs = []
-        for z_bd, u_bd in zip(data["x_bd"], data["u_bd"]):
-            data_errs.append(loss_mod.ms_error(f_u(z_bd) - u_bd))
+        for gi, (z_bd, u_bd) in enumerate(zip(data["x_bd"], data["u_bd"])):
+            op = bc_operators[gi] if bc_operators else None
+            # operator BCs may reference the unknown coefficients too
+            # (e.g. a Robin condition with an unknown transfer coefficient)
+            bd_val = (op.residual(f_u, z_bd, coef) if op is not None
+                      else f_u(z_bd))
+            data_errs.append(loss_mod.ms_error(bd_val - u_bd))
         obs_err = loss_mod.ms_error(f_u(z_obs) - u_obs)
         data_errs.append(obs_err)
         data_err = jnp.concatenate(data_errs)
@@ -277,8 +283,16 @@ def run_inverse(
             F = jnp.reshape(f_sq / jnp.mean(f_sq) + 0.5, R.shape)
             return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
 
+    bc_ops = tuple(
+        pde.compile_pde(g.operator, problem.coords, inv.params)
+        if g.operator else None
+        for g in problem.bc_groups
+    )
+    if not any(o is not None for o in bc_ops):
+        bc_ops = None
     loss_fn = make_inverse_loss(
-        predictor, compiled, z_obs, u_obs, source_fn, rw_fn, inv.obs_weight
+        predictor, compiled, z_obs, u_obs, source_fn, rw_fn, inv.obs_weight,
+        bc_operators=bc_ops,
     )
     info_width = loss_mod.loss_info_width(len(problem.bc_groups)) + 1
 

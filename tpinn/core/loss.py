@@ -42,6 +42,7 @@ def make_loss(
     deriv_loss: bool = False,
     engine: str = "auto",
     residual_weight_fn: Callable[[Array], Array] | None = None,
+    bc_operators=None,
 ):
     """Build ``loss_fn(params, data, lw, ref) -> (loss_n, loss_info)``.
 
@@ -58,6 +59,11 @@ def make_loss(
     :param residual_weight_fn: optional pointwise weight ``w(z)`` applied
         to the residual before the MSE (weighted-residual PINN; the
         deriv_loss gradient term stays unweighted).
+    :param bc_operators: optional per-BC-group compiled boundary operators
+        (tpinn.core.pde.compile_pde of BCGroup.operator, or None for plain
+        Dirichlet): group i's data term becomes
+        ``MSE(op_i(u)(z_bd) - u_bd)`` — Neumann (``"u_x"``) and Robin
+        (``"u_x + k*u"``) conditions; the reference supports Dirichlet only.
     :param engine: "auto" (structure-aware fused Taylor-2 when available),
         "generic" (nested-jvp), "fused" (require the fused pure-JAX path),
         or "kernel" (Pallas forward+backward via custom_vjp,
@@ -126,8 +132,10 @@ def make_loss(
         f_u = lambda z: predictor(params, z)
 
         data_errs = []
-        for z_bd, u_bd in zip(data["x_bd"], data["u_bd"]):
-            data_errs.append(ms_error(f_u(z_bd) - u_bd))
+        for gi, (z_bd, u_bd) in enumerate(zip(data["x_bd"], data["u_bd"])):
+            op = bc_operators[gi] if bc_operators else None
+            bd_val = op.residual(f_u, z_bd) if op is not None else f_u(z_bd)
+            data_errs.append(ms_error(bd_val - u_bd))
         data_err = (
             jnp.concatenate(data_errs) if data_errs
             else jnp.zeros((0,), data["x_col"].dtype)  # keep dtype uniform in x64

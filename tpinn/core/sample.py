@@ -197,6 +197,13 @@ class BCGroup:
     # which solution component this group pins (coupled systems,
     # tpinn.core.system; scalar problems leave the default 0)
     field: int = 0
+    # Neumann/Robin generalization (the reference UI is Dirichlet-only):
+    # an expression over u/derivatives/coords, e.g. "u_x" (flux) or
+    # "u_x + 0.5*u" (Robin), compiled by tpinn.core.pde and pinned to
+    # ``value``/``value_fn`` on this group's box.  None = plain Dirichlet.
+    # For coupled systems the expression may reference any field ("v_x");
+    # ``field`` is ignored when an operator is set.
+    operator: Optional[str] = None
 
     def target(self, pts: Array) -> Array:
         if self.value_fn is not None:

@@ -98,9 +98,15 @@ def make_system_loss(
     bc_fields: Tuple[int, ...],
     observations: Optional[Tuple[Array, Array]] = None,
     obs_weight: float = 1.0,
+    bc_operators=None,
 ):
     """Build the system loss.  ``params`` is the net pytree, or
-    ``{"net", "coef"}`` when the system declares unknown coefficients."""
+    ``{"net", "coef"}`` when the system declares unknown coefficients.
+
+    ``bc_operators``: per-group compiled boundary operators (one-equation
+    CompiledSystems over the same fields) — Neumann/Robin/flux conditions
+    like ``"v_x"`` or ``"u_x - v"``; None entries pin the tagged field's
+    value (Dirichlet)."""
     has_coef = bool(compiled.param_names)
 
     def loss_fn(params: dict, data: Dict, lw: Array, ref: Array):
@@ -111,10 +117,12 @@ def make_system_loss(
         f = lambda z: predictor(net_p, z)
 
         data_errs = []
-        for z_bd, u_bd, fi in zip(data["x_bd"], data["u_bd"], bc_fields):
-            data_errs.append(
-                loss_mod.ms_error(f(z_bd)[:, fi : fi + 1] - u_bd)
-            )
+        for gi, (z_bd, u_bd, fi) in enumerate(
+                zip(data["x_bd"], data["u_bd"], bc_fields)):
+            op = bc_operators[gi] if bc_operators else None
+            bd_val = (op.residual(f, z_bd, coef) if op is not None
+                      else f(z_bd)[:, fi : fi + 1])
+            data_errs.append(loss_mod.ms_error(bd_val - u_bd))
         n_bc_cols = len(data_errs)
         if observations is not None:
             z_obs, u_obs = observations
@@ -261,9 +269,17 @@ def run_system(
         return smooth(reshape(f_sq / jnp.mean(f_sq) + 0.5))
 
     bc_fields = tuple(g.field for g in problem.bc_groups)
+    bc_ops = tuple(
+        pde.compile_system([g.operator], problem.coords, problem.fields,
+                           param_names) if g.operator else None
+        for g in problem.bc_groups
+    )
+    if not any(o is not None for o in bc_ops):
+        bc_ops = None
     loss_fn = make_system_loss(
         predictor, compiled, bc_fields, obs,
         obs_weight=(inverse.obs_weight if inverse is not None else 1.0),
+        bc_operators=bc_ops,
     )
     info_width = (3 + len(problem.bc_groups) + (m if obs is not None else 0)
                   + compiled.n_eq)

@@ -446,6 +446,15 @@ def run_training(
         if problem.source
         else None
     )
+    # Neumann/Robin boundary operators (BCGroup.operator expressions):
+    # group i's data term pins op_i(u) instead of u (loss.make_loss)
+    bc_ops = tuple(
+        pde.compile_pde(g.operator, problem.coords) if g.operator else None
+        for g in problem.bc_groups
+    )
+    has_op_bc = any(o is not None for o in bc_ops)
+    if not has_op_bc:
+        bc_ops = None
     hard_fns = None
     if problem.hard_bc is not None:
         hard_fns = tuple(
@@ -624,7 +633,8 @@ def run_training(
                 return loss_mod.make_loss(pred, compiled_st, source_fn,
                                           deriv_loss=spec.deriv_loss,
                                           engine=engine,
-                                          residual_weight_fn=rw_fn)
+                                          residual_weight_fn=rw_fn,
+                                          bc_operators=bc_ops)
             except ValueError as e:
                 if engine != "kernel":
                     raise
@@ -637,7 +647,8 @@ def run_training(
                 return loss_mod.make_loss(pred, compiled_st, source_fn,
                                           deriv_loss=spec.deriv_loss,
                                           engine="auto",
-                                          residual_weight_fn=rw_fn)
+                                          residual_weight_fn=rw_fn,
+                                          bc_operators=bc_ops)
 
         loss_fn = build_loss(predictor, spec.engine)
 
@@ -1005,7 +1016,19 @@ def run_training(
                 #     layer on the convex subproblem's optimum each time.
                 if spec.lsq_polish not in ("off", "auto", "on"):
                     raise ValueError(f"lsq_polish={spec.lsq_polish!r}")
-                if spec.lsq_polish != "off":
+                if (spec.lsq_polish != "off" and has_op_bc
+                        and problem.hard_bc is None):
+                    # the polish's soft-BC rows pin VALUES at z_bd
+                    # (polish.last_layer_lsq); operator groups (Neumann/
+                    # Robin) would be silently treated as Dirichlet.
+                    # Hard-BC runs are unaffected (boundary rows unused).
+                    if spec.lsq_polish == "on":
+                        raise ValueError(
+                            "lsq_polish='on' with operator (Neumann/Robin) "
+                            "BC groups needs hard_bc; use lsq_polish='off'")
+                    log(f"stage {stage_no}: lsq_polish skipped (operator "
+                        f"BC groups pin derivatives, not values)")
+                elif spec.lsq_polish != "off":
                     if not compiled_st.is_linear and spec.lsq_polish == "auto":
                         log(f"stage {stage_no}: lsq_polish skipped "
                             f"(equation nonlinear in u)")
@@ -1050,6 +1073,12 @@ def run_training(
         # --- spectral error correction (final stage only; see TrainSpec)
         defl = None
         if (si == len(spec.stages) - 1 and spec.deflation != "off"
+                and has_op_bc and problem.hard_bc is None):
+            # the soft-BC Chebyshev path treats the boundary trace as
+            # known Dirichlet data; operator groups don't provide one
+            log("deflation skipped: operator (Neumann/Robin) BC groups "
+                "have no Dirichlet boundary trace")
+        elif (si == len(spec.stages) - 1 and spec.deflation != "off"
                 and (compiled_st.is_linear or spec.deflation == "full")):
             # nonlinear operators are admitted on "full" only: the
             # Galerkin path linearizes the residual (one Newton step in
