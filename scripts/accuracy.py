@@ -221,7 +221,9 @@ def main():
             "auto" if args.auto_scl_cap == "auto"
             else None if args.auto_scl_cap == "none"
             else float(args.auto_scl_cap)),
-        testing_size=(256,) if problem.dim == 1 else (111, 111),
+        testing_size=((256,) if problem.dim == 1
+                      else (111, 111) if problem.dim == 2
+                      else (48,) * problem.dim),
     )
 
     # quiet mode still surfaces stage-level milestones (phase transitions,

@@ -1,0 +1,128 @@
+"""N-dimensional (d ≥ 3) support: samplers, smoothing, end-to-end 3-D.
+
+The reference pipeline is strictly 2-D (its sampler hardcodes a 111×111
+grid and the app's domain inputs are x/y only, software.py:522-532);
+tpinn generalizes the same uniform + boundary-band + residual-adaptive
+pipeline over any dimension (sample.make_sampler_nd / inverse_cdf_nd /
+gaussian_smooth_nd), with the 2-D figure-artifact contract skipped for
+d ≥ 3 (metrics and checkpoints unchanged).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpinn.core import sample
+from tpinn.core.train import ProblemSpec, StageSpec, TrainSpec, run_training
+
+PI = np.pi
+
+
+def test_inverse_cdf_nd_targets_density():
+    # delta-like density on one cell: every draw lands inside that cell
+    g = 9
+    axes = [jnp.linspace(0.0, 1.0, g) for _ in range(3)]
+    F = jnp.zeros((g, g, g)).at[2, 5, 7].set(1.0)
+    pts = sample.inverse_cdf_nd(jax.random.PRNGKey(0), axes, F, 256)
+    assert pts.shape == (256, 3)
+    h = 1.0 / (g - 1)
+    lo = np.array([2 * h, 5 * h, 7 * h])
+    assert np.all(np.asarray(pts) >= lo - 1e-6)
+    assert np.all(np.asarray(pts) <= lo + h + 1e-6)
+
+
+def test_inverse_cdf_nd_uniform_marginals():
+    g = 17
+    axes = [jnp.linspace(0.0, 1.0, g) for _ in range(3)]
+    F = jnp.ones((g, g, g))
+    pts = np.asarray(
+        sample.inverse_cdf_nd(jax.random.PRNGKey(1), axes, F, 4096))
+    # uniform density → near-uniform marginals
+    for i in range(3):
+        assert abs(pts[:, i].mean() - 0.5) < 0.03
+        assert pts[:, i].min() >= 0.0 and pts[:, i].max() <= 1.0 + 1e-6
+
+
+def test_gaussian_smooth_nd_matches_2d():
+    F = jnp.asarray(np.random.RandomState(0).rand(21, 21), jnp.float32)
+    a = sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
+    b = sample.gaussian_smooth_nd(F, 1.0, 5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_boundary_band_nd():
+    g = 21
+    axes = [jnp.linspace(0.0, 1.0, g) for _ in range(3)]
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    F = sample.boundary_band_density_nd(grids, jnp.zeros(3), jnp.ones(3))
+    Fn = np.asarray(F)
+    assert Fn[0, 10, 10] == 1.0 and Fn[10, 10, 0] == 1.0  # faces
+    assert Fn[10, 10, 10] == 0.0                          # center
+    assert Fn[0, 0, 0] == 1.0                             # corner
+
+
+def test_sampler_for_dispatch():
+    cfg = sample.SamplerConfig(n_col=32, n_band=8, n_adaptive=8, n_bd=4,
+                               grid=9)
+    for d in (1, 2, 3, 4):
+        fn, grids = sample.sampler_for(cfg, (), [0.0] * d, [1.0] * d)
+        data = fn(jax.random.PRNGKey(0), jnp.ones_like(grids[0]))
+        assert data["x_col"].shape[1] == d
+        # 1-D folds band+adaptive into one draw; counts still land
+        assert data["x_col"].shape[0] == 32 + 8 + 8
+
+
+def _poisson_3d(hard=True):
+    exact = lambda z: (jnp.sin(PI * z[:, :1]) * jnp.sin(PI * z[:, 1:2])
+                       * jnp.sin(PI * z[:, 2:3]))
+    groups = ()
+    if not hard:
+        groups = tuple(
+            sample.BCGroup(lo=tuple(lo), hi=tuple(hi), value=0.0)
+            for lo, hi in [
+                ((0, 0, 0), (0, 1, 1)), ((1, 0, 0), (1, 1, 1)),
+                ((0, 0, 0), (1, 0, 1)), ((0, 1, 0), (1, 1, 1)),
+                ((0, 0, 0), (1, 1, 0)), ((0, 0, 1), (1, 1, 1)),
+            ]
+        )
+    return ProblemSpec(
+        name="poisson_3d",
+        equation="u_xx + u_yy + u_zz + 3*pi**2*sin(pi*x)*sin(pi*y)*sin(pi*z)",
+        coords=("x", "y", "z"), lb=(0.0, 0.0, 0.0), ub=(1.0, 1.0, 1.0),
+        bc_groups=groups, exact=exact,
+        hard_bc=("0", "x*(1-x)*y*(1-y)*z*(1-z)") if hard else None,
+    )
+
+
+def test_train_poisson_3d(tmp_path):
+    spec = TrainSpec(
+        n_col=512, n_band=128, n_adaptive=128, n_bd=16,
+        stages=(StageSpec(depth=3, width=32, scl=1.0, epsil=1.0,
+                          adam_epochs=500, lbfgs_epochs=600),),
+        grid=21, lw=(1.0, 0.0), testing_size=(21, 21, 21), tail_max=0,
+        density_every=200, log_every=250,
+    )
+    r = run_training(_poisson_3d(), spec, output_dir=str(tmp_path))
+    assert r.rel_l2 < 5e-3
+    # checkpoints + loss history land; 2-D figure artifacts are skipped
+    assert (tmp_path / "params_stage_1.npz").exists()
+    assert (tmp_path / "loss_1.npz").exists()
+    assert not (tmp_path / "solution_residual_1.npz").exists()
+
+
+def test_train_poisson_3d_soft_bc():
+    # soft Dirichlet on all six faces: exercises the BC-group path in 3-D.
+    # Soft boundaries converge slowly in 3-D at suite budgets (the 6-face
+    # penalty is data-starved) — the hard-BC ansatz is the recommended 3-D
+    # route (test above, 6× more accurate in the same wall time); this
+    # asserts the path trains, not production accuracy.
+    spec = TrainSpec(
+        n_col=512, n_band=128, n_adaptive=128, n_bd=48,
+        stages=(StageSpec(depth=3, width=32, scl=1.0, epsil=1.0,
+                          adam_epochs=800, lbfgs_epochs=1200),),
+        grid=15, lw=(1.0, 0.0), testing_size=(17, 17, 17), tail_max=0,
+        density_every=400, log_every=400,
+    )
+    r = run_training(_poisson_3d(hard=False), spec)
+    assert r.rel_l2 < 8e-2

@@ -74,4 +74,8 @@ def _recipe_train_fields(name: str) -> Dict | None:
 
 
 def preset_names() -> List[str]:
-    return sorted(problems.PRESETS)
+    # the web form is 2-D (reference parity: x/y domain inputs only);
+    # d >= 3 presets are CLI/API-only (python -m tpinn train --recipe)
+    return sorted(
+        n for n in problems.PRESETS if problems.get_problem(n).dim <= 2
+    )

@@ -247,41 +247,23 @@ def run_inverse(
         n_adaptive=_rc(spec.n_adaptive), n_bd=_rc(spec.n_bd),
         grid=spec.grid,
     )
-    if problem.dim == 1:
-        sample_fn, grids = sample.make_sampler_1d(
-            cfg, problem.bc_groups, problem.lb, problem.ub, dtype)
-    else:
-        sample_fn, grids = sample.make_sampler(
-            cfg, problem.bc_groups, problem.lb, problem.ub, dtype)
+    sample_fn, grids = sample.sampler_for(
+        cfg, problem.bc_groups, problem.lb, problem.ub, dtype)
     F0 = jnp.ones_like(grids[0])
 
     # adaptive density over the JOINT pytree: the residual (and therefore
     # the refresh, software.py:608-623) depends on the current coefficient,
     # so train.make_density_fn (which has no coef channel) is re-derived
     # here with the live coefficient threaded through
-    if len(grids) == 1:
-        x_nodes = grids[0]
+    z_grid, reshape_g, smooth = sample.density_geometry(grids)
 
-        def density_fn(joint):  # noqa: F811
-            f0 = compiled.residual_fast(
-                predictor, joint["net"], x_nodes, joint["coef"])
-            if source_fn is not None:
-                f0 = f0 - source_fn(x_nodes)
-            f_sq = f0 ** 2
-            return sample.gaussian_smooth_1d(
-                f_sq / jnp.mean(f_sq) + 0.5, 1.0, 5)
-    else:
-        R, T = grids
-        z_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
-
-        def density_fn(joint):  # noqa: F811
-            f0 = compiled.residual_fast(
-                predictor, joint["net"], z_star, joint["coef"])
-            if source_fn is not None:
-                f0 = f0 - source_fn(z_star)
-            f_sq = f0 ** 2
-            F = jnp.reshape(f_sq / jnp.mean(f_sq) + 0.5, R.shape)
-            return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
+    def density_fn(joint):
+        f0 = compiled.residual_fast(
+            predictor, joint["net"], z_grid, joint["coef"])
+        if source_fn is not None:
+            f0 = f0 - source_fn(z_grid)
+        f_sq = f0 ** 2
+        return smooth(reshape_g(f_sq / jnp.mean(f_sq) + 0.5))
 
     bc_ops = tuple(
         pde.compile_pde(g.operator, problem.coords, inv.params)

@@ -114,6 +114,31 @@ def inverse_cdf_2d(key: Array, X: Array, Y: Array, F: Array, n: int) -> Array:
     return jnp.stack([px + jitter[0] * dx, py + jitter[1] * dy], axis=1)
 
 
+def inverse_cdf_nd(key: Array, axes: Sequence[Array], F: Array, n: int) -> Array:
+    """Sample ``n`` points from a d-dimensional cell density (d ≥ 1).
+
+    ``axes``: per-axis equally spaced node vectors [g_i]; ``F``: density on
+    their ``indexing='ij'`` meshgrid, shape (g_0, …, g_{d-1}).  Same
+    algorithm as the 1-D/2-D samplers (cumsum → uniform draws → interp →
+    per-axis jitter within the cell), generalized through
+    ``jnp.unravel_index``.  Returns [n, d].
+    """
+    d = len(axes)
+    Fc = F[tuple(slice(0, -1) for _ in range(d))]
+    f = Fc.reshape(-1)
+    steps = [a[1] - a[0] for a in axes]
+    k1, k2 = jax.random.split(key)
+    cdf = jnp.concatenate([jnp.zeros((1,), f.dtype), jnp.cumsum(f)])
+    draws = jax.random.uniform(k1, (n,), f.dtype) * cdf[-1]
+    seq = jnp.arange(cdf.shape[0], dtype=f.dtype)
+    flat = jnp.floor(jnp.interp(draws, cdf, seq))
+    flat = jnp.clip(flat, 0, f.shape[0] - 1).astype(jnp.int32)
+    idx = jnp.unravel_index(flat, Fc.shape)
+    jitter = jax.random.uniform(k2, (d, n), f.dtype)
+    cols = [axes[i][idx[i]] + jitter[i] * steps[i] for i in range(d)]
+    return jnp.stack(cols, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Gaussian density smoothing (separable, on-device)
 # ---------------------------------------------------------------------------
@@ -175,6 +200,43 @@ def boundary_band_density(R: Array, T: Array, lb: Array, ub: Array) -> Array:
         (R > lb[0] + fx) & (R < ub[0] - fx) & (T > lb[1] + fy) & (T < ub[1] - fy)
     )
     return jnp.where(interior, 0.0, 1.0).astype(R.dtype)
+
+
+def gaussian_smooth_nd(F: Array, sig: float = 1.0, wid: int = 5) -> Array:
+    """Separable 'same'-mode Gaussian smoothing along every axis of a
+    d-dimensional density (the N-D analog of gaussian_smooth_2d; one small
+    1-D convolution per axis, fully on-device)."""
+    w = _gauss_window(sig, wid, F.dtype)
+    w = w / jnp.sum(w)
+    k = w.shape[0]
+    lo = (k - 1) // 2
+    hi = k - 1 - lo
+
+    def conv_axis(a: Array, axis: int) -> Array:
+        a = jnp.moveaxis(a, axis, -1)
+        shp = a.shape
+        flat = a.reshape(-1, shp[-1])
+        ap = jnp.pad(flat, ((0, 0), (lo, hi)))
+        out = jax.vmap(
+            lambda r: jnp.convolve(r, w[::-1], mode="valid",
+                                   precision="highest")
+        )(ap)
+        return jnp.moveaxis(out.reshape(shp), -1, axis)
+
+    for ax in range(F.ndim):
+        F = conv_axis(F, ax)
+    return F
+
+
+def boundary_band_density_nd(grids, lb: Array, ub: Array) -> Array:
+    """N-D analog of ``boundary_band_density``: 1 on the outer 5% shell of
+    the box, 0 inside.  ``grids``: per-axis ``indexing='ij'`` meshgrids."""
+    interior = None
+    for i, G in enumerate(grids):
+        band = (ub[i] - lb[i]) / 20.0
+        ax_in = (G > lb[i] + band) & (G < ub[i] - band)
+        interior = ax_in if interior is None else (interior & ax_in)
+    return jnp.where(interior, 0.0, 1.0).astype(grids[0].dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -323,3 +385,90 @@ def make_sampler_1d(
         return {"x_col": x_col, "x_bd": x_bd, "u_bd": u_bd}
 
     return sample, (x_nodes,)
+
+
+def make_sampler_nd(
+    config: SamplerConfig,
+    bc_groups: Sequence[BCGroup],
+    lb: Sequence[float],
+    ub: Sequence[float],
+    dtype=jnp.float32,
+):
+    """d ≥ 3 sampler (the reference is strictly 2-D; this generalizes the
+    same pipeline — uniform LHS + boundary-band + residual-adaptive draws —
+    over an ``indexing='ij'`` d-dimensional density grid).
+
+    Returns ``(sample, grids)`` with ``grids`` the tuple of d meshgrid
+    arrays (each of shape grid**d); density refreshes evaluate the residual
+    on their flattened stack, exactly like the 2-D path.  Note the grid has
+    ``config.grid ** d`` cells — keep ``grid`` modest in high dimension
+    (the reference's 111/axis default is a 2-D choice).
+    """
+    lb_a = jnp.asarray(lb, dtype)
+    ub_a = jnp.asarray(ub, dtype)
+    d = lb_a.shape[0]
+    if d < 3:
+        raise ValueError("make_sampler_nd is for d >= 3; use the 1-D/2-D "
+                         "samplers (sampler_for dispatches)")
+    g = config.grid
+    axes = [jnp.linspace(lb_a[i], ub_a[i], g, dtype=dtype) for i in range(d)]
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    F_bd = boundary_band_density_nd(grids, lb_a, ub_a)
+    groups = tuple(bc_groups)
+
+    def sample(key: Array, F: Array) -> Dict:
+        keys = jax.random.split(key, 3 + len(groups))
+        x_bd: List[Array] = []
+        u_bd: List[Array] = []
+        for gi, grp in enumerate(groups):
+            pts = lhs_box(
+                keys[3 + gi], config.n_bd, jnp.asarray(grp.lo, dtype),
+                jnp.asarray(grp.hi, dtype), dtype,
+            )
+            x_bd.append(pts)
+            u_bd.append(grp.target(pts))
+        parts = [lhs_box(keys[0], config.n_col, lb_a, ub_a, dtype)]
+        if config.n_band:
+            parts.append(inverse_cdf_nd(keys[1], axes, F_bd, config.n_band))
+        parts += x_bd
+        if config.n_adaptive:
+            parts.append(inverse_cdf_nd(keys[2], axes, F, config.n_adaptive))
+        x_col = jnp.concatenate(parts, axis=0)
+        return {"x_col": x_col, "x_bd": x_bd, "u_bd": u_bd}
+
+    return sample, tuple(grids)
+
+
+def sampler_for(
+    config: SamplerConfig,
+    bc_groups: Sequence[BCGroup],
+    lb: Sequence[float],
+    ub: Sequence[float],
+    dtype=jnp.float32,
+):
+    """Dispatch the point sampler on the domain dimension (1/2/N-D)."""
+    d = len(lb)
+    if d == 1:
+        return make_sampler_1d(config, bc_groups, lb, ub, dtype)
+    if d == 2:
+        return make_sampler(config, bc_groups, lb, ub, dtype)
+    return make_sampler_nd(config, bc_groups, lb, ub, dtype)
+
+
+def density_geometry(grids):
+    """``(z_grid, reshape, smooth)`` for evaluating an adaptive density on a
+    sampler's grid tuple in any dimension: flatten the grid to an [N, d]
+    point stack, reshape a residual column back onto the grid, and apply
+    the dimension-appropriate separable Gaussian smoothing."""
+    if len(grids) == 1:
+        x_nodes = grids[0]
+        return (x_nodes, lambda f: f,
+                lambda f: gaussian_smooth_1d(f, 1.0, 5))
+    if len(grids) == 2:
+        R, T = grids
+        z = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
+        return (z, lambda f: jnp.reshape(f, R.shape),
+                lambda F: gaussian_smooth_2d(F, (1.0, 1.0), (5, 5)))
+    z = jnp.stack([G.reshape(-1) for G in grids], axis=1)
+    shp = grids[0].shape
+    return z, lambda f: jnp.reshape(f, shp), gaussian_smooth_nd

@@ -245,21 +245,12 @@ def run_system(
         n_adaptive=_rc(spec.n_adaptive), n_bd=_rc(spec.n_bd),
         grid=spec.grid,
     )
-    make = sample.make_sampler_1d if problem.dim == 1 else sample.make_sampler
-    sample_fn, grids = make(cfg, problem.bc_groups, problem.lb, problem.ub,
-                            dtype)
+    sample_fn, grids = sample.sampler_for(
+        cfg, problem.bc_groups, problem.lb, problem.ub, dtype)
     F0 = jnp.ones_like(grids[0])
 
     # adaptive density: total residual energy over all equations
-    if problem.dim == 1:
-        z_grid = grids[0]
-        reshape = lambda f: f
-        smooth = lambda f: sample.gaussian_smooth_1d(f, 1.0, 5)
-    else:
-        R, T = grids
-        z_grid = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
-        reshape = lambda f: jnp.reshape(f, R.shape)
-        smooth = lambda f: sample.gaussian_smooth_2d(f, (1.0, 1.0), (5, 5))
+    z_grid, reshape, smooth = sample.density_geometry(grids)
 
     def density_fn(p):
         net_p = p["net"] if param_names else p

@@ -323,9 +323,15 @@ def eval_grid(problem: ProblemSpec, testing_size: Sequence[int], dtype):
     if problem.dim == 1:
         X = axes[0][:, None]
         return X, axes, (axes[0][:, None],)
-    R, T = jnp.meshgrid(axes[0], axes[1])
-    X_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
-    return X_star, axes, (R, T)
+    if problem.dim == 2:
+        R, T = jnp.meshgrid(axes[0], axes[1])
+        X_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
+        return X_star, axes, (R, T)
+    # d >= 3: 'ij' meshgrid stack (figures are 2-D-only; metrics/oracles
+    # only need the flattened point set)
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    X_star = jnp.stack([G.reshape(-1) for G in grids], axis=1)
+    return X_star, axes, tuple(grids)
 
 
 def eval_stage_f64(predictor, params, X_star, compiled, source_fn, exact):
@@ -379,19 +385,34 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None)
 
         return density1
 
-    R, T = grids
-    z_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
+    if len(grids) == 2:
+        R, T = grids
+        z_star = jnp.stack([R.reshape(-1), T.reshape(-1)], axis=1)
 
-    def density2(params):
-        f0 = compiled.residual_fast(predictor, params, z_star)
+        def density2(params):
+            f0 = compiled.residual_fast(predictor, params, z_star)
+            if source_fn is not None:
+                f0 = f0 - source_fn(z_star)
+            f_sq = f0**2
+            f_nm = f_sq / jnp.mean(f_sq) + 0.5
+            F = jnp.reshape(f_nm, R.shape)
+            return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
+
+        return density2
+
+    # d >= 3 (make_sampler_nd grids): same pipeline on the flattened stack
+    z_nd = jnp.stack([G.reshape(-1) for G in grids], axis=1)
+    shape_nd = grids[0].shape
+
+    def density_nd(params):
+        f0 = compiled.residual_fast(predictor, params, z_nd)
         if source_fn is not None:
-            f0 = f0 - source_fn(z_star)
+            f0 = f0 - source_fn(z_nd)
         f_sq = f0**2
         f_nm = f_sq / jnp.mean(f_sq) + 0.5
-        F = jnp.reshape(f_nm, R.shape)
-        return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
+        return sample.gaussian_smooth_nd(jnp.reshape(f_nm, shape_nd))
 
-    return density2
+    return density_nd
 
 
 # ---------------------------------------------------------------------------
@@ -615,16 +636,10 @@ def run_training(
             n_bd=_rc(int(spec.n_bd * sc)),
             grid=spec.grid,
         )
-        if problem.dim == 1:
-            sample_fn, grids = sample.make_sampler_1d(
-                cfg, problem.bc_groups, problem.lb, problem.ub, dtype
-            )
-            F0 = jnp.ones_like(grids[0])
-        else:
-            sample_fn, grids = sample.make_sampler(
-                cfg, problem.bc_groups, problem.lb, problem.ub, dtype
-            )
-            F0 = jnp.ones_like(grids[0])
+        sample_fn, grids = sample.sampler_for(
+            cfg, problem.bc_groups, problem.lb, problem.ub, dtype
+        )
+        F0 = jnp.ones_like(grids[0])
 
         density_fn = make_density_fn(predictor, compiled_st, grids, source_fn)
 
@@ -695,7 +710,7 @@ def run_training(
 
             data0 = parallel.shard_data(data0, mesh)
 
-        if out:
+        if out and problem.dim <= 2:
             limit = [problem.lb[0], problem.ub[0]] + (
                 [problem.lb[1], problem.ub[1]] if problem.dim == 2
                 else [0.0, 1.0]
@@ -1121,10 +1136,15 @@ def run_training(
         if problem.dim == 1:
             U = u_star[:, 0][None, :]                 # [1, nx]
             F = f_star[:, 0][None, :]
-        else:
+        elif problem.dim == 2:
             ny, nx = int(spec.testing_size[1]), int(spec.testing_size[0])
             U = u_star.reshape(ny, nx)
             F = f_star.reshape(ny, nx)
+        else:
+            # d >= 3: metrics work on the flat point set; the 11-artifact
+            # figure contract is 2-D-only (the reference app is 2-D)
+            U = u_star
+            F = f_star
 
         r_rms = float(rms(f_star))
         e_rms = None
@@ -1138,10 +1158,15 @@ def run_training(
         hist_cum = np.concatenate(histories, axis=0)
 
         if out and not resumed:
-            _write_stage_artifacts(
-                out, stage_no, problem, spec, axes, U, F,
-                exact_star, hist_stage if stage_no == 1 else hist_cum,
-            )
+            if problem.dim <= 2:
+                _write_stage_artifacts(
+                    out, stage_no, problem, spec, axes, U, F,
+                    exact_star, hist_stage if stage_no == 1 else hist_cum,
+                )
+            else:
+                artifacts.write_loss(out / f"loss_{stage_no}.npz",
+                                     hist_stage if stage_no == 1
+                                     else hist_cum)
             from tpinn.utils.checkpoint import save_pytree
 
             save_pytree(
@@ -1214,15 +1239,37 @@ def _grid_data(problem: ProblemSpec, g: int, dtype) -> dict:
     ]
     if problem.dim == 1:
         x_col = axes[0][:, None]
-    else:
+    elif problem.dim == 2:
         A, B = jnp.meshgrid(axes[0], axes[1])
         x_col = jnp.stack([A.reshape(-1), B.reshape(-1)], axis=1)
+    else:
+        meshes = jnp.meshgrid(*axes, indexing="ij")
+        x_col = jnp.stack([A.reshape(-1) for A in meshes], axis=1)
     x_bd, u_bd = [], []
     for grp in problem.bc_groups:
         lo = jnp.asarray(grp.lo, dtype)
         hi = jnp.asarray(grp.hi, dtype)
-        ts = jnp.linspace(0.0, 1.0, g, dtype=dtype)[:, None]
-        pts = lo[None, :] + ts * (hi - lo)[None, :]
+        varying = [i for i in range(problem.dim)
+                   if float(hi[i]) != float(lo[i])]
+        if len(varying) <= 1:
+            # point or edge group: g points along the segment
+            ts = jnp.linspace(0.0, 1.0, g, dtype=dtype)[:, None]
+            pts = lo[None, :] + ts * (hi - lo)[None, :]
+        else:
+            # face (or higher) group, d >= 3: tensor grid over the varying
+            # axes at ~g total points (m per axis)
+            m = int(np.ceil(g ** (1.0 / len(varying))))
+            axes_v = [jnp.linspace(float(lo[i]), float(hi[i]), m,
+                                   dtype=dtype) for i in varying]
+            mesh_v = jnp.meshgrid(*axes_v, indexing="ij")
+            n_pts = mesh_v[0].size
+            cols = []
+            for i in range(problem.dim):
+                if i in varying:
+                    cols.append(mesh_v[varying.index(i)].reshape(-1))
+                else:
+                    cols.append(jnp.full((n_pts,), float(lo[i]), dtype))
+            pts = jnp.stack(cols, axis=1)
         x_bd.append(pts)
         u_bd.append(grp.target(pts))
     return {"x_col": x_col, "x_bd": x_bd, "u_bd": u_bd}

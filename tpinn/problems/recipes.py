@@ -146,6 +146,22 @@ RECIPES = {
             pad_features=3, lsq_polish="auto", deflation="full",
         ),
         hard_bc=False, expected_rel_l2=3.8e-4, run_tag="hS"),
+    # nd1: 3-D cube Poisson (beyond the 2-D reference) — hard-BC ansatz
+    # + VP loop on a 24³ deterministic grid.  Measured on CPU (the 3-D
+    # preset postdates the committed TPU campaigns; the queue revalidates
+    # on hardware when the backend returns).  Deflation stays off: the
+    # spectral corrector is 1-D/2-D (polish.defect_correction guards).
+    "poisson_3d": Recipe(
+        spec=TrainSpec(
+            n_col=4000, n_band=1000, n_adaptive=1000, n_bd=200,
+            lw=(1.0, 0.0), grid=31,
+            stages=(StageSpec(depth=5, width=64, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=4000, lbfgs_epochs=4000,
+                              lbfgs_grid=24, lbfgs_rounds=2),),
+            lsq_polish="auto", testing_size=(48, 48, 48),
+        ),
+        hard_bc=True, expected_rel_l2=8.1e-4, run_tag="nd1"),
 }
 
 
