@@ -222,3 +222,81 @@ def test_inverse_checkpoint_serves(tmp_path):
     np.testing.assert_allclose(u_served, u_train, rtol=1e-5, atol=1e-6)
     f = np.asarray(srv.residual(z))
     assert np.all(np.isfinite(f)) and float(np.abs(f).max()) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# UI inverse mode (run_pinn_training options passthrough)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_coef_list():
+    from tpinn.core.train import parse_coef_list
+
+    assert parse_coef_list("lam=0.5") == (("lam",), (0.5,))
+    assert parse_coef_list(" a = 1 , b=2.5 ") == (("a", "b"), (1.0, 2.5))
+    assert parse_coef_list("") == ((), ())
+    with pytest.raises(ValueError, match="NAME=INIT"):
+        parse_coef_list("lam")
+    with pytest.raises(ValueError, match="bad coefficient name"):
+        parse_coef_list("2x=1")
+
+
+def test_coerce_inverse_ui_options():
+    from tpinn.core.train import coerce_ui_option
+
+    assert coerce_ui_option("inverse_params", "lam=0.5") == "lam=0.5"
+    with pytest.raises(ValueError):
+        coerce_ui_option("inverse_params", "lam")
+    assert coerce_ui_option("oracle", "heat_2d") == "heat_2d"
+    assert coerce_ui_option("oracle", "") == ""
+    with pytest.raises(ValueError, match="unknown preset"):
+        coerce_ui_option("oracle", "nope")
+    assert coerce_ui_option("n_obs", 50) == 50
+    assert coerce_ui_option("obs_noise", "0.01") == pytest.approx(0.01)
+
+
+def test_validate_equation_with_params():
+    # the UI validator admits declared unknowns only when told about them
+    assert not pde.validate_equation("u_t - lam*u_xx")
+    assert pde.validate_equation("u_t - lam*u_xx", params=("lam",))
+
+
+@pytest.mark.slow
+def test_ui_inverse_mode(tmp_path):
+    """run_pinn_training(options={"inverse_params": ...}) routes through
+    run_inverse: the heat diffusivity is identified from oracle-synthesized
+    observations and the full UI artifact set is written so the result tabs
+    render (SURVEY §2b.13)."""
+    from tpinn.core import train
+
+    res = train.run_pinn_training(
+        equation="u_t - lam*u_xx",
+        boundary={
+            "bd_x1_min": 0, "bd_x1_max": 1, "bd_y1_min": 0,
+            "bd_y1_max": 0, "bd_u1": "sin(pi*x)",
+            "bd_x2_min": 0, "bd_x2_max": 0, "bd_y2_min": 0,
+            "bd_y2_max": 0.5, "bd_u2": 0,
+            "bd_x3_min": 1, "bd_x3_max": 1, "bd_y3_min": 0,
+            "bd_y3_max": 0.5, "bd_u3": 0,
+        },
+        domain={"x_min": 0, "x_max": 1, "y_min": 0, "y_max": 0.5},
+        scl=1, epsil=1,
+        sample_points={"n_col": 384, "n_bd": 32, "n_add": 64},
+        network_size={"depth": 24, "width": 3},  # UI semantics (swapped)
+        testing_size={"x": 24, "y": 24},
+        epochs={"adam": 800, "lbfgs": 1200},
+        equation_weight={"f": 1.0, "df": 0},
+        output_dir=str(tmp_path),
+        options={"inverse_params": "lam=0.5", "oracle": "heat_2d",
+                 "n_obs": 120},
+    )
+    rec = json.loads((tmp_path / "inverse.json").read_text())
+    assert rec["coef"]["lam"] == pytest.approx(1.0, rel=0.2)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    # the UI artifact contract: result tabs must have data to render
+    for name in ("solution_residual_1.npz", "error_1.npz", "loss_1.npz",
+                 "boundary_loss_1.npz", "frequency_spectrum.npz",
+                 "collocation_point_1.npz", "params_stage_1.npz"):
+        assert (tmp_path / name).exists(), name
+    c = np.load(tmp_path / "collocation_point_1.npz")
+    assert c["X_col"].shape == (120, 2)  # the observation points

@@ -52,7 +52,19 @@ class TrainingRequest:
 
     def validate(self) -> Optional[str]:
         """Return an error message, or None if the request is well-formed."""
-        if not pde.validate_equation(self.equation, coords=("r", "t", "x", "y")):
+        # declared unknown coefficients (UI inverse mode) are admitted by
+        # the grammar check — same registry the training entry uses
+        inv_params: tuple = ()
+        if isinstance(self.options, dict) and self.options.get("inverse_params"):
+            from tpinn.core.train import parse_coef_list
+
+            try:
+                inv_params, _ = parse_coef_list(self.options["inverse_params"])
+            except (TypeError, ValueError) as e:
+                return str(e)
+        if not pde.validate_equation(self.equation,
+                                     coords=("r", "t", "x", "y"),
+                                     params=inv_params):
             return f"equation does not parse: {self.equation!r}"
         try:
             n_groups = len(self.boundary) // 5

@@ -93,6 +93,12 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
    <select id="lsq_polish"><option>off</option><option>auto</option><option>on</option></select></div>
   <div><label>Defect correction</label>
    <select id="deflation"><option>off</option><option>auto</option><option>full</option></select></div></div>
+  <div class="row"><div><label>Unknown coefficients (inverse, e.g. lam=0.5)</label>
+   <input id="inverse_params" value="" placeholder="name=init,…"></div>
+  <div><label>Observation oracle</label>
+   <select id="oracle"><option value=""></option><option>annulus_laplace</option>
+    <option>poisson_2d</option><option>heat_2d</option><option>helmholtz_2d</option>
+    <option>burgers_1d</option></select></div></div>
   <div style="margin-top:10px"><button id="start" onclick="start()">Start Training</button></div>
  </div>
  <div class="card"><h3>Training log</h3><div id="log"></div></div>
@@ -222,6 +228,10 @@ async function start(){
   epochs:{adam:+g("adam"),lbfgs:+g("lbfgs")},
   equation_weight:{f:+g("wf"),df:+g("wdf")},
   options:{lsq_polish:g("lsq_polish"),deflation:g("deflation")}};
+ if(g("inverse_params").trim()){
+  req.options.inverse_params = g("inverse_params").trim();
+  if(g("oracle")) req.options.oracle = g("oracle");
+ }
  const r = await fetch("/api/start",{method:"POST",body:JSON.stringify(req)});
  const d = await r.json();
  if(d.error){ alert(d.error); return; }

@@ -340,14 +340,15 @@ def run_inverse(
     net_final = params["net"]
     predict = lambda z: predictor(net_final, z)
 
-    rel_l2 = None
-    if problem.exact is not None:
-        from tpinn.core.train import eval_grid
+    from tpinn.core.train import eval_grid
 
-        X_star, _, _ = eval_grid(problem, spec.testing_size, dtype)
-        u = predict(X_star)
-        rel_l2 = float(loss_mod.relative_l2(
-            u, jnp.asarray(problem.exact(X_star), dtype)))
+    X_star, axes, _ = eval_grid(problem, spec.testing_size, dtype)
+    u_star = predict(X_star)
+    exact_star = (jnp.asarray(problem.exact(X_star), dtype)
+                  if problem.exact is not None else None)
+    rel_l2 = None
+    if exact_star is not None:
+        rel_l2 = float(loss_mod.relative_l2(u_star, exact_star))
         log(f"inverse: solution rel-L2 {rel_l2:.3e}")
 
     history = (np.concatenate([hist_adam, hist_lbfgs], axis=0)
@@ -384,6 +385,41 @@ def run_inverse(
             "coef": coef, "coef_adam": coef_adam, "rel_l2": rel_l2,
             "n_obs": int(z_obs.shape[0]), "obs_noise": inv.obs_noise,
         }, indent=1))
+        if problem.dim <= 2:
+            # the UI figure-artifact contract (SURVEY §2b.13), so the web
+            # app's result tabs render inverse runs like forward ones:
+            # solution/residual/error fields at the RECOVERED coefficients,
+            # loss history with the obs column, observation points on the
+            # collocation tab
+            from tpinn.core.train import _write_stage_artifacts
+            from tpinn.utils import artifacts as artifacts_mod
+
+            coef_arr = {k: jnp.asarray(v, dtype) for k, v in coef.items()}
+            f_star = compiled.residual_fast(
+                predictor, net_final, X_star, coef_arr)
+            if source_fn is not None:
+                f_star = f_star - source_fn(X_star)
+            u_np, f_np = np.asarray(u_star), np.asarray(f_star)
+            if problem.dim == 1:
+                U, F = u_np[:, 0][None, :], f_np[:, 0][None, :]
+            else:
+                ny, nx = (int(spec.testing_size[1]),
+                          int(spec.testing_size[0]))
+                U, F = u_np.reshape(ny, nx), f_np.reshape(ny, nx)
+            _write_stage_artifacts(
+                out, 1, problem, spec, axes, U, F,
+                (np.asarray(exact_star) if exact_star is not None
+                 else None), history)
+            z_np = np.asarray(z_obs)
+            artifacts_mod.write_collocation(
+                out / "collocation_point_1.npz",
+                U=np.ones((8, 8), np.float32),
+                X_col=(z_np if problem.dim == 2 else np.concatenate(
+                    [z_np, np.zeros_like(z_np)], axis=1)),
+                limit=[float(problem.lb[0]), float(problem.ub[0])] + (
+                    [float(problem.lb[1]), float(problem.ub[1])]
+                    if problem.dim == 2 else [0.0, 1.0]),
+            )
         log(f"inverse: checkpoint + record written to {out}")
 
     return InverseResult(

@@ -570,16 +570,21 @@ def infer_coords(equation: str) -> Tuple[str, ...]:
     return ("x",)
 
 
-def validate_equation(expr: str, coords: Sequence[str] = ("x", "y", "r", "t")) -> bool:
+def validate_equation(
+    expr: str,
+    coords: Sequence[str] = ("x", "y", "r", "t"),
+    params: Sequence[str] = (),
+) -> bool:
     """UI-grammar validation: True iff the expression parses.
 
     Behavioral superset of the reference validator
     (input_validation.py:29-50): everything it accepts is accepted here.
+    ``params`` admits declared unknown coefficients (UI inverse mode).
     """
     if not expr or not expr.strip():
         return True  # reference treats empty as "not invalid"
     try:
-        parse(expr, coords)
+        parse(expr, coords, params)
         return True
     except PDESyntaxError:
         return False

@@ -1342,8 +1342,36 @@ UI_OPTION_SPEC = {
     "lr_min": float,
     "lbfgs_rounds": int,
     "lbfgs_grid": int,
+    # UI inverse mode (round 4, tpinn.core.inverse): declare unknown
+    # equation coefficients "name=init[,name=init…]"; observations are
+    # synthesized from the oracle preset's analytic solution
+    "inverse_params": "coef_list",
+    "n_obs": int,
+    "obs_noise": float,
+    "oracle": "preset_name",
 }
 _UI_STAGE_OPTIONS = frozenset({"lbfgs_rounds", "lbfgs_grid"})
+_UI_INVERSE_OPTIONS = frozenset({"inverse_params", "n_obs", "obs_noise",
+                                 "oracle"})
+
+
+def parse_coef_list(s: str):
+    """'lam=0.5,k=1' → (('lam', 'k'), (0.5, 1.0)); '' → ((), ())."""
+    names, inits = [], []
+    for part in str(s).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(
+                f"inverse_params entries must be NAME=INIT, got {part!r}")
+        n, v = part.split("=", 1)
+        n = n.strip()
+        if not n.isidentifier():
+            raise ValueError(f"bad coefficient name {n!r}")
+        names.append(n)
+        inits.append(float(v))
+    return tuple(names), tuple(inits)
 
 
 def coerce_ui_option(key: str, value):
@@ -1359,6 +1387,17 @@ def coerce_ui_option(key: str, value):
             raise ValueError(f"option {key} must be one of {spec}, "
                              f"got {value!r}")
         return value
+    if spec == "coef_list":
+        parse_coef_list(value)  # raises ValueError on bad format
+        return str(value)
+    if spec == "preset_name":
+        if not value:
+            return ""
+        from tpinn import problems as _problems
+
+        if str(value) not in _problems.PRESETS:
+            raise ValueError(f"option {key}: unknown preset {value!r}")
+        return str(value)
     try:
         f = float(value)
     except (TypeError, ValueError):
@@ -1475,9 +1514,12 @@ def run_pinn_training(
     # advanced options (round-3 UI extension beyond the reference schema):
     # whitelisted TrainSpec / per-stage overrides, coerced through the
     # SHARED registry (UI_OPTION_SPEC) the controller validates against
+    inv_opts = {}
     if options:
         coerced = {k: coerce_ui_option(k, v) for k, v in options.items()
                    if k in UI_OPTION_SPEC}
+        inv_opts = {k: coerced.pop(k) for k in list(coerced)
+                    if k in _UI_INVERSE_OPTIONS}
         spec_keys = {k: v for k, v in coerced.items()
                      if k not in _UI_STAGE_OPTIONS}
         if spec_keys:
@@ -1487,6 +1529,43 @@ def run_pinn_training(
         if st_keys:
             spec = replace(spec, stages=tuple(
                 replace(s, **st_keys) for s in spec.stages))
+
+    if inv_opts.get("inverse_params"):
+        # UI inverse mode: identify the declared unknown coefficients from
+        # observations synthesized from an analytic oracle — the problem's
+        # own (polar-Laplace autodetect above) or a named preset's
+        from tpinn.core.inverse import InverseSpec, run_inverse
+
+        names, inits = parse_coef_list(inv_opts["inverse_params"])
+        if problem.exact is None and inv_opts.get("oracle"):
+            from tpinn import problems as _problems
+
+            oracle = _problems.get_problem(inv_opts["oracle"])
+            if oracle.dim != problem.dim:
+                raise ValueError(
+                    f"oracle preset {inv_opts['oracle']!r} is "
+                    f"{oracle.dim}-D but the problem is {problem.dim}-D")
+            problem = replace(problem, exact=oracle.exact)
+        if problem.exact is None:
+            raise ValueError(
+                "inverse mode needs an analytic oracle to synthesize "
+                "observations from — pick a preset (options.oracle) or use "
+                "tpinn.core.inverse.run_inverse with observations=")
+        inv = InverseSpec(
+            params=names, init=inits,
+            n_obs=int(inv_opts.get("n_obs") or 200),
+            obs_noise=float(inv_opts.get("obs_noise") or 0.0),
+        )
+        # single stage: the coefficient must stay live through every phase
+        # (no frozen-correction chain in inverse mode)
+        single = replace(spec, stages=spec.stages[:1])
+        res = run_inverse(problem, inv, single, log_fn=log_fn,
+                          print_log=log_fn is None, output_dir=output_dir)
+        return TrainResult(
+            problem=problem, spec=single, stages=[],
+            predict=res.predict, rel_l2=res.rel_l2, history=res.history,
+            fell_back=False,
+        )
 
     return run_training(problem, spec, output_dir=output_dir, log_fn=log_fn,
                         print_log=log_fn is None)
