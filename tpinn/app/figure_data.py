@@ -44,8 +44,18 @@ def load_solution_residual(path, upsample: int = 4) -> Dict:
     U_f = zoom(U, upsample) if min(U.shape) > 3 else U
     F_f = zoom(F, upsample) if min(F.shape) > 3 else F
     ny, nx = U_f.shape
-    r = np.linspace(0.1, 1.0, nx)        # reference hardcodes these axes
-    t = np.linspace(0, 2 * np.pi, ny)    # (figures.py:91-92)
+    # the reference hardcodes r∈[0.1,1], t∈[0,2π] (figures.py:91-92) —
+    # correct only for its single problem.  The artifact carries the real
+    # axes (write_solution_residual); use them, fall back to the
+    # reference's constants for legacy files without them.
+    if "r" in d.files and d["r"].size >= 2:
+        r = np.linspace(float(d["r"][0]), float(d["r"][-1]), nx)
+    else:
+        r = np.linspace(0.1, 1.0, nx)
+    if "t_vec" in d.files and d["t_vec"].size >= 2:
+        t = np.linspace(float(d["t_vec"][0]), float(d["t_vec"][-1]), ny)
+    else:
+        t = np.linspace(0, 2 * np.pi, ny)
     return {
         "type": "dual_heatmap",
         "x": _lists(r), "y": _lists(t),
