@@ -257,7 +257,14 @@ def main():
                                            "900"))
         t0 = time.time()
         zero_emitted = False
-        while not probe_backend(timeout=240.0):
+        # first probe short: a wedged worker BLOCKS the probe subprocess
+        # for its full timeout, and the honest-zero line must not wait
+        # 240s behind it (90s still clears a healthy first-compile of the
+        # probe matmul, ~20-40s through the tunnel); later probes get the
+        # full window so a heal mid-wait is not missed
+        probe_timeout = 90.0
+        while not probe_backend(timeout=probe_timeout):
+            probe_timeout = 240.0
             waited = time.time() - t0
             if not zero_emitted:
                 fail = {
