@@ -160,7 +160,8 @@ def _make_modules():
     dash = types.ModuleType("dash")
     dcc = types.ModuleType("dash.dcc")
     html = types.ModuleType("dash.html")
-    for name in ("Store", "Tabs", "Tab", "Graph", "Interval", "Loading"):
+    for name in ("Store", "Tabs", "Tab", "Graph", "Interval", "Loading",
+                 "Dropdown"):
         setattr(dcc, name, _factory(name))
     for name in ("Div", "H3", "Pre", "Span", "P", "Label"):
         setattr(html, name, _factory(name))

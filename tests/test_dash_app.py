@@ -54,8 +54,11 @@ def test_layout_contains_reference_components(app):
 def test_equation_validation_callback(app):
     application, dash, _ = app
     cb = application.find("on_equation_change")["fn"]
-    assert cb("u_rr + 1/r*u_r") is False          # valid -> not invalid
-    assert cb("u_q + ") is True                    # invalid -> invalid flag
+    assert cb("u_rr + 1/r*u_r", "") is False      # valid -> not invalid
+    assert cb("u_q + ", "") is True                # invalid -> invalid flag
+    # declared unknowns (UI inverse mode) are admitted by the grammar
+    assert cb("u_t - lam*u_xx", "") is True
+    assert cb("u_t - lam*u_xx", "lam=0.5") is False
 
 
 def test_bd_group_add_del(app):
@@ -78,7 +81,7 @@ def test_toggle_all_gating(app):
     bd = [[0.1], [0.1], [0.0], [1.0], [1.0]]
 
     # idle + everything filled + valid equation -> only Start enabled
-    out = cb(0, "u_rr + u_tt", "sess", *bd, *_field_values())
+    out = cb(0, "u_rr + u_tt", "sess", *bd, *_field_values(), "")
     *gates, start_disabled = out
     assert start_disabled is False
     flat = []
@@ -89,16 +92,16 @@ def test_toggle_all_gating(app):
     # one empty field -> Start disabled
     fields = _field_values()
     fields[3] = ""
-    out = cb(0, "u_rr + u_tt", "sess", *bd, *fields)
+    out = cb(0, "u_rr + u_tt", "sess", *bd, *fields, "")
     assert out[-1] is True
 
     # invalid equation -> Start disabled
-    out = cb(0, "u_q +", "sess", *bd, *_field_values())
+    out = cb(0, "u_q +", "sess", *bd, *_field_values(), "")
     assert out[-1] is True
 
     # empty BC value -> Start disabled
     bd_bad = [[0.1], [None], [0.0], [1.0], [1.0]]
-    out = cb(0, "u_rr + u_tt", "sess", *bd_bad, *_field_values())
+    out = cb(0, "u_rr + u_tt", "sess", *bd_bad, *_field_values(), "")
     assert out[-1] is True
 
 
@@ -115,7 +118,7 @@ def test_toggle_all_disables_everything_while_running(app, monkeypatch):
 
     monkeypatch.setattr(SessionManager, "status",
                         lambda self, s: {"status": "running", "log": ""})
-    out = cb(0, "u_rr + u_tt", "sess", *bd, *_field_values())
+    out = cb(0, "u_rr + u_tt", "sess", *bd, *_field_values(), "")
     *gates, start_disabled = out
     assert start_disabled is True
     flat = []
@@ -155,3 +158,16 @@ def test_payload_to_figure_types(app):
          "series": [{"name": "loss", "y": [1.0, 0.1]}]}
     )
     assert f.layout["yaxes"]["type"] == "log"
+
+
+def test_build_options_and_declared_params(app):
+    _, _, dash_app = app
+    assert dash_app._declared_params("lam=0.5, k=2") == ("lam", "k")
+    assert dash_app._declared_params("") == ()
+    assert dash_app._declared_params("garbage") == ()
+    opts = dash_app._build_options("auto", "full", " lam=0.5 ", "heat_2d")
+    assert opts == {"lsq_polish": "auto", "deflation": "full",
+                    "inverse_params": "lam=0.5", "oracle": "heat_2d"}
+    # oracle without inverse params is dropped (meaningless alone)
+    assert dash_app._build_options("off", "off", "", "heat_2d") == {
+        "lsq_polish": "off", "deflation": "off"}

@@ -67,7 +67,38 @@ FIELD_KEYS = ("x-min", "x-max", "y-min", "y-max", "scl", "epsil", "n-col",
               "lbfgs", "wf", "wdf")
 GATED_IDS = ["input-equation"] + [f"input-{k}" for k in FIELD_KEYS] + [
     "btn-add-bd", "btn-del-bd",
+    # round-3/4 advanced options (may be empty; gated but not
+    # required-filled): polish/correction selectors + UI inverse mode
+    "opt-lsq-polish", "opt-deflation", "input-inverse-params", "opt-oracle",
 ]
+
+
+def _declared_params(inverse_params) -> tuple:
+    """Coefficient names declared in the UI inverse field, () on any
+    malformed input (the grammar check then rejects the bare unknown)."""
+    if not inverse_params or not str(inverse_params).strip():
+        return ()
+    from tpinn.core.train import parse_coef_list
+
+    try:
+        names, _ = parse_coef_list(inverse_params)
+        return names
+    except (TypeError, ValueError):
+        return ()
+
+
+def _build_options(lsq_polish, deflation, inverse_params, oracle) -> dict:
+    """Advanced-options dict for TrainingRequest (train.UI_OPTION_SPEC)."""
+    options = {}
+    if lsq_polish:
+        options["lsq_polish"] = lsq_polish
+    if deflation:
+        options["deflation"] = deflation
+    if inverse_params and str(inverse_params).strip():
+        options["inverse_params"] = str(inverse_params).strip()
+        if oracle:
+            options["oracle"] = oracle
+    return options
 
 
 def payload_to_figure(d: dict):
@@ -167,6 +198,22 @@ def create_app(data_root: str = "data"):
                 ("adam", 1000), ("lbfgs", 1000), ("wf", 0.05), ("wdf", 0.0),
             ]
         ],
+        # advanced options (beyond the reference schema; the value rules
+        # live in train.UI_OPTION_SPEC, validated by the controller)
+        dcc.Dropdown(id="opt-lsq-polish", value="off", clearable=False,
+                     options=[{"label": v, "value": v}
+                              for v in ("off", "auto", "on")]),
+        dcc.Dropdown(id="opt-deflation", value="off", clearable=False,
+                     options=[{"label": v, "value": v}
+                              for v in ("off", "auto", "full")]),
+        dbc.Input(id="input-inverse-params", type="text", value="",
+                  placeholder="unknown coefficients, e.g. lam=0.5",
+                  size="sm"),
+        dcc.Dropdown(id="opt-oracle", value="", clearable=True,
+                     placeholder="observation oracle (inverse mode)",
+                     options=[{"label": n, "value": n} for n in
+                              ("annulus_laplace", "poisson_2d", "heat_2d",
+                               "helmholtz_2d", "burgers_1d")]),
         dbc.Button("Start Training", id="btn-start-training", color="primary",
                    disabled=False),
         dcc.Tabs(id="result-tabs-1", value="loss_1", children=[
@@ -202,11 +249,14 @@ def create_app(data_root: str = "data"):
 
     @app.callback(Output("input-equation", "invalid"),
                   Input("input-equation", "value"),
+                  Input("input-inverse-params", "value"),
                   prevent_initial_call=True)
-    def on_equation_change(expr: str) -> bool:
+    def on_equation_change(expr: str, inverse_params: str) -> bool:
         if not expr:
             return False
-        return not pde.validate_equation(expr, coords=("r", "t", "x", "y"))
+        return not pde.validate_equation(
+            expr, coords=("r", "t", "x", "y"),
+            params=_declared_params(inverse_params))
 
     @app.callback(Output("bd-groups", "children"),
                   Input("btn-add-bd", "n_clicks"),
@@ -236,12 +286,17 @@ def create_app(data_root: str = "data"):
           ("x-min", "x-max", "y-min", "y-max", "scl", "epsil", "n-col",
            "n-bd", "n-add", "depth", "width", "test-x", "test-y", "adam",
            "lbfgs", "wf", "wdf")],
+        State("opt-lsq-polish", "value"),
+        State("opt-deflation", "value"),
+        State("input-inverse-params", "value"),
+        State("opt-oracle", "value"),
         prevent_initial_call=True,
     )
     def start_training(n_clicks, n_int, session, equation,
                        bxmin, bxmax, bymin, bymax, bu,
                        x_min, x_max, y_min, y_max, scl, epsil, n_col, n_bd,
-                       n_add, depth, width, tx, ty, adam, lbfgs, wf, wdf):
+                       n_add, depth, width, tx, ty, adam, lbfgs, wf, wdf,
+                       lsq_polish, deflation, inverse_params, oracle):
         trig = dash.callback_context.triggered_id
         session = session or "default"
         if trig == "btn-start-training":
@@ -262,6 +317,8 @@ def create_app(data_root: str = "data"):
                 testing_size={"x": tx, "y": ty},
                 epochs={"adam": adam, "lbfgs": lbfgs},
                 equation_weight={"f": wf, "df": wdf},
+                options=_build_options(lsq_polish, deflation,
+                                       inverse_params, oracle),
             )
             err = manager.start(session, req)
             if err:
@@ -282,9 +339,11 @@ def create_app(data_root: str = "data"):
         State({"type": "bd-y-max", "index": ALL}, "value"),
         State({"type": "bd-u", "index": ALL}, "value"),
         *[State(f"input-{k}", "value") for k in FIELD_KEYS],
+        State("input-inverse-params", "value"),
     )
     def toggle_all(n_int, equation, session, bxmin, bxmax, bymin, bymax, bu,
                    *fields):
+        fields, inverse_params = fields[:-1], fields[-1]
         """Input gating (the reference's toggle_all, training.py:121-267):
         every input disabled while training runs; Start enabled only when
         all fields are non-empty and the equation is valid."""
@@ -297,7 +356,8 @@ def create_app(data_root: str = "data"):
             and all(vs and not any(empty(v) for v in vs) for vs in bd_lists)
         )
         eq_ok = bool(equation) and pde.validate_equation(
-            equation, coords=("r", "t", "x", "y")
+            equation, coords=("r", "t", "x", "y"),
+            params=_declared_params(inverse_params),
         )
         start_disabled = running or not (filled and eq_ok)
         gated = [running] * len(GATED_IDS)
