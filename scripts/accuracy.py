@@ -133,6 +133,10 @@ def main():
                    help="per-stage governing-equation override (1-based "
                         "stage index; StageSpec.equation) — curriculum "
                         "stages, e.g. Helmholtz k-continuation")
+    p.add_argument("--ring-weight", type=float, default=0.0,
+                   help="resonance-band training penalty weight "
+                        "(TrainSpec.ring_weight; inert when the operator "
+                        "has no band modes)")
     p.add_argument("--deflation", default="off",
                    choices=("off", "auto", "full"),
                    help="spectral error correction after the final stage "
@@ -212,7 +216,7 @@ def main():
         seed=args.seed, lr=args.lr, lr_min=args.lr_min, grid=args.grid,
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lsq_polish=args.lsq_polish, engine=args.engine,
-        deflation=args.deflation,
+        deflation=args.deflation, ring_weight=args.ring_weight,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         lbfgs_history=args.lbfgs_history,
         adam_precision=args.adam_precision,

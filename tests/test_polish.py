@@ -645,3 +645,85 @@ def test_soft_defect_ring_augmentation_recovers_resonant_mode():
     if off is not None:
         du0, _ = polish.deflation_fields(off, compiled, z)
         assert np.abs(du0 - g).max() > 0.4 * amp_r
+
+
+def test_ring_penalty_setup_amplifies_band_modes():
+    """ring_penalty_setup turns the deflation identity into a loss-visible
+    operator: for a planted ring-mode error of coefficient δ, the penalty
+    ‖Pᵀr‖² recovers δ² (the MEAN-SQUARE SOLUTION error) even though the
+    residual it sees is only ε·δ·v — while broadband residual content maps
+    to ~nothing."""
+    import numpy as np
+    from tpinn.core import pde, polish
+
+    compiled = pde.compile_pde("u_xx + u_yy + 1200*u", ("x", "y"))
+    setup = polish.ring_penalty_setup(compiled, (0.0, 0.0), (1.0, 1.0),
+                                      n_grid=64, max_mode=10)
+    assert setup is not None
+    z, P = setup
+    assert z.shape[1] == 2 and P.shape[0] == z.shape[0] and P.shape[1] >= 1
+
+    x, y = z[:, 0:1], z[:, 1:2]
+    v_hat = 2.0 * np.sin(8 * np.pi * x) * np.sin(8 * np.pi * y)  # ⟨v̂,v̂⟩=1
+    eps = 1200.0 - 128.0 * np.pi**2                              # ≈ -63.1
+    delta = 3e-4
+    r_ring = delta * eps * v_hat        # residual of u* + δ·v̂
+    pen = float(np.sum((P.T @ r_ring) ** 2))
+    assert pen == pytest.approx(delta**2, rel=0.05)
+
+    # broadband content of the SAME residual norm barely registers:
+    # the penalty is a ring-error meter, not another residual MSE
+    r_flat = np.full_like(r_ring, float(np.sqrt(np.mean(r_ring**2))))
+    pen_flat = float(np.sum((P.T @ r_flat) ** 2))
+    assert pen_flat < 1e-3 * pen
+
+
+def test_ring_penalty_inert_cases():
+    from tpinn.core import pde, polish
+
+    # no zeroth-order coefficient (Poisson): no resonance scale
+    assert polish.ring_penalty_setup(
+        pde.compile_pde("u_xx + u_yy", ("x", "y")),
+        (0.0, 0.0), (1.0, 1.0), n_grid=32, max_mode=6) is None
+    # nonlinear operator
+    assert polish.ring_penalty_setup(
+        pde.compile_pde("u*u_x + u_xx + 100*u", ("x",)),
+        (0.0,), (1.0,), n_grid=32, max_mode=6) is None
+    # first-order term breaks sine diagonality (heat-like)
+    assert polish.ring_penalty_setup(
+        pde.compile_pde("u_t - u_xx + 40*u", ("x", "t")),
+        (0.0, 0.0), (1.0, 1.0), n_grid=32, max_mode=6) is None
+
+
+def test_ring_penalty_trains(tmp_path):
+    """TrainSpec.ring_weight wires the penalty through the stage loss:
+    the run logs the band-mode count and converges on a small Helmholtz."""
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from tpinn.core import sample, train
+    from tpinn.core.train import ProblemSpec, StageSpec, TrainSpec
+
+    prob = ProblemSpec(
+        name="helm_ring", coords=("x", "y"),
+        equation="u_xx + u_yy + 25*u - (25 - 2*pi**2)*sin(pi*x)*sin(pi*y)",
+        lb=(0.0, 0.0), ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0),
+            sample.BCGroup(lo=(0.0, 1.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        exact=lambda z: jnp.sin(jnp.pi * z[:, 0:1]) * jnp.sin(jnp.pi * z[:, 1:2]),
+    )
+    spec = TrainSpec(
+        n_col=256, n_band=0, n_adaptive=64, n_bd=24, testing_size=(32, 32),
+        lw=(1.0, 0.0), grid=41, ring_weight=1.0, pad_features=3,
+        stages=(StageSpec(depth=2, width=16, scl=1.0, epsil=1.0,
+                          adam_epochs=300, lbfgs_epochs=150),),
+        log_every=300,
+    )
+    lines = []
+    res = train.run_training(prob, spec, log_fn=lines.append)
+    assert any("ring penalty on 1 band modes" in ln for ln in lines), lines
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)

@@ -43,6 +43,7 @@ def make_loss(
     engine: str = "auto",
     residual_weight_fn: Callable[[Array], Array] | None = None,
     bc_operators=None,
+    ring=None,
 ):
     """Build ``loss_fn(params, data, lw, ref) -> (loss_n, loss_info)``.
 
@@ -64,6 +65,14 @@ def make_loss(
         Dirichlet): group i's data term becomes
         ``MSE(op_i(u)(z_bd) - u_bd)`` — Neumann (``"u_x"``) and Robin
         (``"u_x + k*u"``) conditions; the reference supports Dirichlet only.
+    :param ring: optional resonance-band penalty
+        (polish.ring_penalty_setup): ``{"z": [N,d], "P": [N,M],
+        "weight": w}``.  Adds ``w·‖Pᵀ r(z)‖²`` — the implied mean-square
+        ring-mode error of the live residual — to the total loss.  The
+        raw residual is used (no ``residual_weight_fn``): P already
+        carries the quadrature weights and 1/ε amplification.  Folded
+        into the total/``loss`` column only; the loss_info layout (the
+        UI contract) is unchanged.
     :param engine: "auto" (structure-aware fused Taylor-2 when available),
         "generic" (nested-jvp), "fused" (require the fused pure-JAX path),
         or "kernel" (Pallas forward+backward via custom_vjp,
@@ -168,6 +177,10 @@ def make_loss(
         else:
             loss_eqn = jnp.sum(eqn_err)
         loss = loss_data + lw[0] * loss_eqn
+        if ring is not None:
+            f_ring = residual_at(params, ring["z"])
+            loss = loss + ring["weight"] * jnp.sum(
+                jnp.square(jnp.matmul(ring["P"].T, f_ring)))
         loss_n = loss / ref
         loss_info = jnp.concatenate(
             [jnp.stack([loss, loss_data, loss_eqn]), data_err, eqn_err]

@@ -806,6 +806,81 @@ def _host_u_f64(predictor, params, z_np):
             return np.asarray(jax.jit(predictor)(p64, z64))
 
 
+def ring_penalty_setup(
+    compiled,
+    lb,
+    ub,
+    band: float = 0.35,
+    max_mode: int = 16,
+    n_grid: int = 48,
+    eps_floor: float = 0.02,
+):
+    """Precompute the resonance-band TRAINING penalty operator.
+
+    The offline deflation (:func:`resonant_deflation`, design notes above)
+    removes the near-null ring leakage AFTER training; this is the same
+    spectral identity turned into a loss term the optimizer can see
+    DURING training.  For a linear operator L with sine eigenmodes
+    ``L v_m = ε_m v_m`` in the resonance band ``|ε_m| ≤ band·|c₀|``, the
+    live residual field implies the modal error  c_m = ⟨r, v̂_m⟩/ε_m,
+    so
+
+        penalty(r) = Σ_m c_m²  =  ‖Pᵀ r‖²,   P[:,m] = W·v̂_m/ε_m
+
+    is (an estimate of) the MEAN-SQUARE SOLUTION ERROR carried by the
+    ring — the component a plain residual MSE weights by ε_m² ≈ 0 and
+    therefore cannot drive out (a unit of ring error costs only ε²
+    residual; dividing by ε_m restores it to solution scale).  The
+    penalty vanishes at the exact solution, so it biases nothing; it
+    only re-conditions the descent directions the loss is blind to.
+
+    Returns ``(z [N,d], P [N,M])`` as float64 numpy arrays (cast to the
+    training dtype by the caller; the training-time cost is one fixed
+    [N,d] residual evaluation and one [M,N]@[N,1] matmul per step), or
+    ``None`` when the operator is nonlinear, has no constant zeroth-order
+    coefficient, or no mode falls in the band — same inertness contract
+    as deflation="auto" (Poisson c₀=0 and heat's non-diagonal ∂t select
+    nothing).  ``eps_floor`` clamps |ε_m| ≥ eps_floor·|c₀|: an (almost)
+    exactly-resonant mode would otherwise get unbounded weight and hand
+    the optimizer an ill-posed objective (cf. the singularity floor in
+    :func:`resonant_deflation`).
+    """
+    import numpy as np
+
+    if not getattr(compiled, "is_linear", False):
+        return None
+    if len(lb) not in (1, 2, 3):
+        return None
+    lb = [float(v) for v in lb]
+    ub = [float(v) for v in ub]
+
+    from tpinn.utils.x64 import force_x64
+
+    with force_x64():
+        z, W = _box_quadrature(lb, ub, n_grid)
+        Wc = W[:, None]
+        modes = _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode)
+        if not modes:
+            return None
+        _, C = _coeff_fields(compiled, z, compiled.indices)
+        c0 = float(np.sum(C[()] * Wc))
+        cols = []
+        for desc in modes:
+            v = _basis_value(np, z, desc, lb, ub)
+            Lv = np.zeros((z.shape[0], 1))
+            parts = _basis_partials(desc, lb, ub, z, compiled.indices)
+            for ix in compiled.indices:
+                Lv += C[ix] * parts[ix]
+            norm = float(np.sqrt(np.sum(v * v * Wc)))
+            v_hat = v / norm
+            eps = float(np.sum(v_hat * (Lv / norm) * Wc))
+            sign = 1.0 if eps >= 0 else -1.0   # sign(0)=0 must not zero ε
+            eps_c = sign * max(abs(eps), eps_floor * abs(c0))
+            cols.append((Wc * v_hat / eps_c)[:, 0])
+        P = np.stack(cols, axis=1)
+    return z, P
+
+
 def soft_defect(
     predictor: Callable,
     params,

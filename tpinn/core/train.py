@@ -218,6 +218,16 @@ class TrainSpec:
     # NONLINEAR equations (Burgers).  Offline on committed runs:
     # poisson_2d 6.8×, heat tS 4.5×, annulus eM 9.9×.
     deflation: str = "off"
+    # Resonance-band TRAINING penalty (polish.ring_penalty_setup; the
+    # deflation="auto" spectral identity turned into a loss term): adds
+    # ring_weight·‖Pᵀr‖² — the implied mean-square ring-mode solution
+    # error of the live residual — so the optimizer can SEE the
+    # near-null directions a plain residual MSE weights by ε²≈0
+    # (Helmholtz's k²-ring).  0 disables; inert (with a log line) when
+    # the operator selects no band modes (Poisson, heat, nonlinear).
+    ring_weight: float = 0.0
+    ring_band: float = 0.35
+    ring_max_mode: int = 16
     # Derivative-engine selection for the loss residual (loss.make_loss):
     # "auto" | "generic" | "fused" | "kernel".  "generic" builds a
     # different XLA graph shape — also the workaround for tunneled-TPU
@@ -643,13 +653,32 @@ def run_training(
 
         density_fn = make_density_fn(predictor, compiled_st, grids, source_fn)
 
+        ring_arg = None
+        if spec.ring_weight > 0:
+            from tpinn.core import polish as polish_mod
+
+            setup = polish_mod.ring_penalty_setup(
+                compiled_st, problem.lb, problem.ub,
+                band=spec.ring_band, max_mode=spec.ring_max_mode)
+            if setup is not None:
+                z_r, P_r = setup
+                ring_arg = {"z": jnp.asarray(z_r, dtype),
+                            "P": jnp.asarray(P_r, dtype),
+                            "weight": spec.ring_weight}
+                log(f"stage {stage_no}: ring penalty on {P_r.shape[1]} "
+                    f"band modes (weight {spec.ring_weight:g})")
+            else:
+                log(f"stage {stage_no}: ring penalty inert "
+                    "(no resonance-band modes for this operator)")
+
         def build_loss(pred, engine):
             try:
                 return loss_mod.make_loss(pred, compiled_st, source_fn,
                                           deriv_loss=spec.deriv_loss,
                                           engine=engine,
                                           residual_weight_fn=rw_fn,
-                                          bc_operators=bc_ops)
+                                          bc_operators=bc_ops,
+                                          ring=ring_arg)
             except ValueError as e:
                 if engine != "kernel":
                     raise
@@ -663,7 +692,8 @@ def run_training(
                                           deriv_loss=spec.deriv_loss,
                                           engine="auto",
                                           residual_weight_fn=rw_fn,
-                                          bc_operators=bc_ops)
+                                          bc_operators=bc_ops,
+                                          ring=ring_arg)
 
         loss_fn = build_loss(predictor, spec.engine)
 
@@ -1342,6 +1372,7 @@ UI_OPTION_SPEC = {
     "lr_min": float,
     "lbfgs_rounds": int,
     "lbfgs_grid": int,
+    "ring_weight": float,
     # UI inverse mode (round 4, tpinn.core.inverse): declare unknown
     # equation coefficients "name=init[,name=init…]"; observations are
     # synthesized from the oracle preset's analytic solution
