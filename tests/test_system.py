@@ -259,3 +259,54 @@ def test_system_checkpoint_serves(tmp_path):
     np.testing.assert_allclose(u_served, u_train, rtol=1e-5, atol=1e-6)
     f = np.asarray(srv.residual(z))
     assert f.shape == (7, 2) and np.all(np.isfinite(f))
+
+
+# ---------------------------------------------------------------------------
+# Navier-Stokes: the Kovasznay benchmark preset
+# ---------------------------------------------------------------------------
+
+
+def test_kovasznay_preset_consistency():
+    """The preset's exact fields satisfy its own compiled equations
+    (residual ~ 0) and its boundary groups' values match the oracle."""
+    from tpinn.core import pde as pde_mod
+    from tpinn.problems.systems import get_system
+
+    prob = get_system("kovasznay")
+    compiled = pde_mod.compile_system(prob.equations, prob.coords,
+                                      prob.fields)
+    rng = np.random.RandomState(3)
+    z = jnp.asarray(
+        prob.lb + rng.rand(256, 2) * (np.asarray(prob.ub) - prob.lb),
+        jnp.float32)
+    f = compiled.residual(lambda zz: prob.exact(zz), z)
+    # f32 second derivatives of e^{lam x}: residual floor ~1e-4
+    assert float(jnp.abs(f).max()) < 5e-3
+    for g in prob.bc_groups:
+        zc = jnp.asarray(np.linspace(g.lo, g.hi, 9), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(g.value_fn(zc))[:, 0],
+            np.asarray(prob.exact(zc))[:, g.field], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_kovasznay_trains():
+    """End-to-end steady Navier-Stokes: nonlinear 3-field system through
+    the standard drivers at a small CPU budget."""
+    from tpinn.core.system import run_system
+    from tpinn.problems.systems import get_system
+
+    prob = get_system("kovasznay")
+    spec = TrainSpec(
+        n_col=1024, n_band=0, n_adaptive=256, n_bd=64,
+        testing_size=(48, 48), lw=(1.0, 0.0), grid=48, pad_features=3,
+        stages=(StageSpec(depth=4, width=48, scl=1.0, epsil=1.0,
+                          adam_epochs=2500, lbfgs_epochs=2500),),
+        log_every=1000,
+    )
+    res = run_system(prob, spec)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    # velocity fields tight; pressure (one-edge pin) looser
+    assert res.rel_l2_fields[0] < 2e-2
+    assert res.rel_l2_fields[1] < 5e-2
+    assert res.rel_l2_fields[2] < 1e-1

@@ -33,6 +33,14 @@ def cmd_problems(args):
         print(f"{name:18s} {p.equation}   coords={p.coords} "
               f"domain={list(zip(p.lb, p.ub))}{gate}")
 
+    from tpinn.problems.systems import SYSTEM_PRESETS
+
+    for name in sorted(SYSTEM_PRESETS):
+        s = SYSTEM_PRESETS[name]()
+        eqs = "; ".join(s.equations)
+        print(f"{name:18s} [system {'/'.join(s.fields)}] {eqs}   "
+              f"coords={s.coords} domain={list(zip(s.lb, s.ub))}")
+
 
 def cmd_train(args):
     import jax
@@ -153,6 +161,32 @@ def cmd_invert(args):
     }))
 
 
+def cmd_system(args):
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from tpinn.core.system import run_system
+    from tpinn.core.train import StageSpec, TrainSpec
+    from tpinn.problems.systems import get_system
+
+    problem = get_system(args.name)
+    spec = TrainSpec(
+        n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
+        n_bd=args.n_bd, lw=(args.weight_f, 0.0), seed=args.seed,
+        pad_features=3,
+        stages=(StageSpec(depth=args.depth, width=args.width, scl=1.0,
+                          epsil=1.0, adam_epochs=args.adam,
+                          lbfgs_epochs=args.lbfgs),),
+    )
+    res = run_system(problem, spec, print_log=True, output_dir=args.out)
+    print(json.dumps({
+        "system": args.name, "rel_l2": res.rel_l2,
+        "rel_l2_fields": (list(res.rel_l2_fields)
+                          if res.rel_l2_fields else None),
+    }))
+
+
 def cmd_app(args):
     from tpinn.app import lite
 
@@ -234,6 +268,27 @@ def main(argv=None):
                         "with the identified equation/coefficients in the "
                         "meta) + inverse.json record")
 
+    y = sub.add_parser(
+        "system",
+        help="train a coupled-system benchmark preset "
+             "(tpinn.core.system; e.g. Navier-Stokes Kovasznay flow)")
+    y.add_argument("--name", required=True,
+                   help="system preset (see `tpinn problems`)")
+    y.add_argument("--adam", type=int, default=6000)
+    y.add_argument("--lbfgs", type=int, default=4000)
+    y.add_argument("--depth", type=int, default=5)
+    y.add_argument("--width", type=int, default=64)
+    y.add_argument("--n-col", type=int, default=4000)
+    y.add_argument("--n-band", type=int, default=0)
+    y.add_argument("--n-adaptive", type=int, default=1000)
+    y.add_argument("--n-bd", type=int, default=150)
+    y.add_argument("--weight-f", type=float, default=1.0)
+    y.add_argument("--seed", type=int, default=1234)
+    y.add_argument("--platform", default=None)
+    y.add_argument("--out", default=None,
+                   help="write a servable multi-field checkpoint + "
+                        "system.json record")
+
     a = sub.add_parser("app", help="launch the web calculator")
     a.add_argument("--port", type=int, default=8050)
     a.add_argument("--data-root", default="data")
@@ -245,7 +300,8 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     {"problems": cmd_problems, "train": cmd_train, "app": cmd_app,
-     "serve": cmd_serve, "invert": cmd_invert}[args.cmd](args)
+     "serve": cmd_serve, "invert": cmd_invert,
+     "system": cmd_system}[args.cmd](args)
 
 
 if __name__ == "__main__":

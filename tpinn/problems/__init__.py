@@ -262,4 +262,8 @@ def __getattr__(name):  # lazy: recipes imports core.train
         from tpinn.problems.recipes import RECIPES
 
         return RECIPES
+    if name in ("SYSTEM_PRESETS", "get_system"):
+        from tpinn.problems import systems
+
+        return getattr(systems, name)
     raise AttributeError(name)

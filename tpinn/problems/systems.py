@@ -1,0 +1,98 @@
+"""Coupled-system benchmark presets (tpinn.core.system).
+
+The reference application has no system capability at all (one hardcoded
+scalar residual, software.py:283-297); these presets exercise the
+framework's compile_system path on named CFD benchmarks with analytic
+solutions, so system runs are gate-checkable exactly like the scalar
+presets (problems.PRESETS).
+
+Kovasznay flow — the classic steady incompressible Navier–Stokes
+benchmark (Kovasznay 1948; the standard PINN system test since Raissi et
+al.): an exact laminar wake behind a periodic grid,
+
+    λ = Re/2 − sqrt(Re²/4 + 4π²)
+    u = 1 − e^{λx} cos(2πy)
+    v = (λ/2π) e^{λx} sin(2πy)
+    p = (1 − e^{2λx})/2
+
+solving  (u·∇)u + ∇p − ν∆u = 0,  ∇·u = 0  with ν = 1/Re.  Three coupled
+equations over three fields on one multi-output net; the convective terms
+make it NONLINEAR — the same compiled-AST machinery covers it because the
+derivative engine is field-vectorized (system.py design notes).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from tpinn.core import sample
+from tpinn.core.system import SystemSpec
+
+
+def kovasznay(re: float = 40.0) -> SystemSpec:
+    """Steady Navier–Stokes Kovasznay flow at Reynolds number ``re``.
+
+    Domain [−0.5, 1.0] × [−0.5, 1.5] (the standard window).  Dirichlet
+    u and v on all four edges from the exact solution; p is pinned on the
+    inflow edge x = −0.5 only (the pressure is determined up to a
+    constant by the momentum equations — one edge anchors it).
+    """
+    nu = 1.0 / re
+    lam = re / 2.0 - math.sqrt(re * re / 4.0 + 4.0 * math.pi**2)
+    two_pi = 2.0 * math.pi
+
+    def u_fn(z):
+        return 1.0 - jnp.exp(lam * z[:, 0:1]) * jnp.cos(two_pi * z[:, 1:2])
+
+    def v_fn(z):
+        return (lam / two_pi) * jnp.exp(lam * z[:, 0:1]) * jnp.sin(
+            two_pi * z[:, 1:2])
+
+    def p_fn(z):
+        return 0.5 * (1.0 - jnp.exp(2.0 * lam * z[:, 0:1]))
+
+    def exact(z):
+        return jnp.concatenate([u_fn(z), v_fn(z), p_fn(z)], axis=1)
+
+    lb, ub = (-0.5, -0.5), (1.0, 1.5)
+    edges = (
+        ((lb[0], lb[1]), (lb[0], ub[1])),   # x = -0.5 (inflow)
+        ((ub[0], lb[1]), (ub[0], ub[1])),   # x = 1.0
+        ((lb[0], lb[1]), (ub[0], lb[1])),   # y = -0.5
+        ((lb[0], ub[1]), (ub[0], ub[1])),   # y = 1.5
+    )
+    groups = []
+    for fi, fn in ((0, u_fn), (1, v_fn)):
+        for lo, hi in edges:
+            groups.append(sample.BCGroup(lo=lo, hi=hi, value_fn=fn, field=fi))
+    groups.append(sample.BCGroup(lo=edges[0][0], hi=edges[0][1],
+                                 value_fn=p_fn, field=2))
+
+    return SystemSpec(
+        name=f"kovasznay_re{re:g}",
+        equations=(
+            f"u*u_x + v*u_y + p_x - {nu}*(u_xx + u_yy)",
+            f"u*v_x + v*v_y + p_y - {nu}*(v_xx + v_yy)",
+            "u_x + v_y",
+        ),
+        fields=("u", "v", "p"),
+        coords=("x", "y"),
+        lb=lb, ub=ub,
+        bc_groups=tuple(groups),
+        exact=exact,
+    )
+
+
+SYSTEM_PRESETS = {
+    "kovasznay": kovasznay,
+}
+
+
+def get_system(name: str) -> SystemSpec:
+    try:
+        return SYSTEM_PRESETS[name]()
+    except KeyError:
+        raise KeyError(f"unknown system preset {name!r}; "
+                       f"available: {sorted(SYSTEM_PRESETS)}")
