@@ -310,3 +310,68 @@ def test_kovasznay_trains():
     assert res.rel_l2_fields[0] < 2e-2
     assert res.rel_l2_fields[1] < 5e-2
     assert res.rel_l2_fields[2] < 1e-1
+
+
+def test_taylor_green_preset_consistency():
+    """The Taylor-Green exact fields satisfy the compiled unsteady NS
+    system (3 coords: x, y, t) and every face group's trace matches."""
+    from tpinn.core import pde as pde_mod
+    from tpinn.problems.systems import get_system
+
+    prob = get_system("taylor_green")
+    compiled = pde_mod.compile_system(prob.equations, prob.coords,
+                                      prob.fields)
+    rng = np.random.RandomState(5)
+    z = jnp.asarray(
+        prob.lb + rng.rand(256, 3) * (np.asarray(prob.ub) - prob.lb),
+        jnp.float32)
+    f = compiled.residual(lambda zz: prob.exact(zz), z)
+    assert float(jnp.abs(f).max()) < 5e-3
+    for g in prob.bc_groups:
+        zc = jnp.asarray(np.linspace(g.lo, g.hi, 7), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(g.value_fn(zc))[:, 0],
+            np.asarray(prob.exact(zc))[:, g.field], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_taylor_green_trains():
+    """Unsteady NS through the 3-coordinate sampler at a tiny CPU budget:
+    the system trains and the velocity error lands in the percent class."""
+    from tpinn.core.system import run_system
+    from tpinn.problems.systems import get_system
+
+    prob = get_system("taylor_green")
+    spec = TrainSpec(
+        n_col=1536, n_band=0, n_adaptive=256, n_bd=48,
+        testing_size=(16, 16, 16), lw=(1.0, 0.0), grid=16, pad_features=0,
+        stages=(StageSpec(depth=4, width=48, scl=1.0, epsil=1.0,
+                          adam_epochs=2000, lbfgs_epochs=2000),),
+        log_every=1000,
+    )
+    res = run_system(prob, spec)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    assert res.rel_l2_fields[0] < 5e-2
+    assert res.rel_l2_fields[1] < 5e-2
+
+
+def test_system_testing_size_fallback():
+    """A testing_size whose length mismatches the problem dimension (the
+    TrainSpec default is 2-D) must not crash the post-training eval — it
+    falls back to a per-axis grid of the right rank (regression: the 3-D
+    Taylor-Green CLI run crashed in eval_grid after training finished)."""
+    from tpinn.core.system import run_system
+    from tpinn.problems.systems import get_system
+
+    prob = get_system("taylor_green")
+    spec = TrainSpec(
+        n_col=128, n_band=0, n_adaptive=0, n_bd=8,
+        lw=(1.0, 0.0), grid=8,                 # testing_size left (111, 111)
+        stages=(StageSpec(depth=2, width=8, scl=1.0, epsil=1.0,
+                          adam_epochs=20, lbfgs_epochs=0),),
+        log_every=20,
+    )
+    lines = []
+    res = run_system(prob, spec, log_fn=lines.append)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    assert any("is not 3-D" in ln for ln in lines)

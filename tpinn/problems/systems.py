@@ -85,8 +85,71 @@ def kovasznay(re: float = 40.0) -> SystemSpec:
     )
 
 
+def taylor_green(nu: float = 0.1, t_final: float = 1.0) -> SystemSpec:
+    """Unsteady incompressible Navier–Stokes: the 2-D decaying
+    Taylor–Green vortex,
+
+        u = −cos x · sin y · e^{−2νt}
+        v =  sin x · cos y · e^{−2νt}
+        p = −(cos 2x + cos 2y)/4 · e^{−4νt}
+
+    an exact pointwise solution of u_t + (u·∇)u + ∇p − ν∆u = 0, ∇·u = 0.
+    Posed on [0, π]² × [0, t_final] with Dirichlet u, v from the exact
+    trace on the four spatial faces + the initial condition, and p
+    anchored on the x = 0 face (time-varying Dirichlet).  Exercises the
+    system path in THREE coordinates (x, y, t) — time is just another
+    sampled axis; no marching scheme exists anywhere in the stack.
+    """
+    pi = math.pi
+
+    def u_fn(z):
+        return (-jnp.cos(z[:, 0:1]) * jnp.sin(z[:, 1:2])
+                * jnp.exp(-2.0 * nu * z[:, 2:3]))
+
+    def v_fn(z):
+        return (jnp.sin(z[:, 0:1]) * jnp.cos(z[:, 1:2])
+                * jnp.exp(-2.0 * nu * z[:, 2:3]))
+
+    def p_fn(z):
+        return (-0.25 * (jnp.cos(2.0 * z[:, 0:1]) + jnp.cos(2.0 * z[:, 1:2]))
+                * jnp.exp(-4.0 * nu * z[:, 2:3]))
+
+    def exact(z):
+        return jnp.concatenate([u_fn(z), v_fn(z), p_fn(z)], axis=1)
+
+    lb, ub = (0.0, 0.0, 0.0), (pi, pi, t_final)
+    faces = (
+        ((0.0, 0.0, 0.0), (0.0, pi, t_final)),     # x = 0
+        ((pi, 0.0, 0.0), (pi, pi, t_final)),       # x = π
+        ((0.0, 0.0, 0.0), (pi, 0.0, t_final)),     # y = 0
+        ((0.0, pi, 0.0), (pi, pi, t_final)),       # y = π
+        ((0.0, 0.0, 0.0), (pi, pi, 0.0)),          # t = 0 (IC)
+    )
+    groups = []
+    for fi, fn in ((0, u_fn), (1, v_fn)):
+        for lo, hi in faces:
+            groups.append(sample.BCGroup(lo=lo, hi=hi, value_fn=fn, field=fi))
+    groups.append(sample.BCGroup(lo=faces[0][0], hi=faces[0][1],
+                                 value_fn=p_fn, field=2))
+
+    return SystemSpec(
+        name=f"taylor_green_nu{nu:g}",
+        equations=(
+            f"u_t + u*u_x + v*u_y + p_x - {nu}*(u_xx + u_yy)",
+            f"v_t + u*v_x + v*v_y + p_y - {nu}*(v_xx + v_yy)",
+            "u_x + v_y",
+        ),
+        fields=("u", "v", "p"),
+        coords=("x", "y", "t"),
+        lb=lb, ub=ub,
+        bc_groups=tuple(groups),
+        exact=exact,
+    )
+
+
 SYSTEM_PRESETS = {
     "kovasznay": kovasznay,
+    "taylor_green": taylor_green,
 }
 
 
