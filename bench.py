@@ -132,6 +132,56 @@ def build_phase(batch_scale=1.0, engine="auto", steps=400,
     return run, batch
 
 
+def timed_inference(n_points=262144, repeats=5, depth=DEPTH, width=WIDTH):
+    """Serving-path throughput: batched forward (u) and residual (L u)
+    evaluation pts/s at a serving batch — what tpinn.app.serve dispatches
+    per /predict and /residual request.  The reference has no serving
+    path at all; this records the framework's inference ceiling next to
+    its training rate."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpinn import problems
+    from tpinn.core import net, pde
+
+    problem = problems.annulus_laplace()
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    fm = net.feature_map_for(problem.feature_kinds)
+    spec = net.MLPSpec(depth=depth, width=width)
+    params = net.init_params(jax.random.PRNGKey(0), spec, fm, jnp.float32)
+    predictor = net.make_predictor(
+        spec, fm, jnp.asarray(problem.lb, jnp.float32),
+        jnp.asarray(problem.ub, jnp.float32),
+    )
+    rng = np.random.RandomState(0)
+    z = jnp.asarray(
+        problem.lb + rng.rand(n_points, 2).astype(np.float32)
+        * (np.asarray(problem.ub, np.float32) - problem.lb), jnp.float32)
+
+    predict = jax.jit(lambda p, zz: predictor(p, zz))
+    resid = jax.jit(
+        lambda p, zz: compiled.residual_fast(predictor, p, zz))
+
+    out = {}
+    for name, fn in (("predict", predict), ("residual", resid)):
+        float(jnp.sum(fn(params, z)))           # warmup + compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(params, z)))       # host transfer = sync
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        out[name] = {
+            "n_points": n_points,
+            "median_s": round(med, 5),
+            "pts_per_sec": round(n_points / med, 1),
+        }
+    return out
+
+
 def timed_phase(batch_scale=1.0, engine="auto", steps=400, repeats=5,
                 depth=DEPTH, width=WIDTH, precision="highest",
                 layout="flat"):
@@ -503,6 +553,13 @@ def _measure(args):
                 print(f"[bench] engine={engine} failed: "
                       f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
         details["engines"] = engines
+        _write_details(details)
+
+        inference = timed_inference(repeats=max(3, args.repeats - 2))
+        for name, row in inference.items():
+            print(f"[bench] inference {name}: {row['pts_per_sec']:,.0f} "
+                  f"pts/s at batch {row['n_points']}", file=sys.stderr)
+        details["inference"] = inference
         _write_details(details)
 
         print("[bench] details -> out/bench_details.json", file=sys.stderr)
