@@ -300,3 +300,73 @@ def test_ui_inverse_mode(tmp_path):
         assert (tmp_path / name).exists(), name
     c = np.load(tmp_path / "collocation_point_1.npz")
     assert c["X_col"].shape == (120, 2)  # the observation points
+
+
+# ---------------------------------------------------------------------------
+# Eigenvalue problems (InverseSpec.normalize)
+# ---------------------------------------------------------------------------
+
+
+def _eigen_problem_1d():
+    return ProblemSpec(
+        name="dirichlet_eigen", equation="u_xx + lam*u", coords=("x",),
+        lb=(0.0,), ub=(1.0,),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0,), hi=(0.0,), value=0.0),
+            sample.BCGroup(lo=(1.0,), hi=(1.0,), value=0.0),
+        ),
+        exact=lambda z: jnp.sin(PI * z),   # mean u² = 1/2 matches the pin
+    )
+
+
+def test_eigen_ground_state():
+    """-u'' = lam u, u(0)=u(1)=0: with the mean-square pin replacing
+    observations, the joint optimization lands the GROUND eigenpair —
+    lam -> pi^2 and u -> sin(pi x) up to sign."""
+    prob = _eigen_problem_1d()
+    inv = InverseSpec(params=("lam",), init=(8.0,), n_obs=128,
+                      normalize=0.5, obs_weight=10.0)
+    spec = TrainSpec(
+        n_col=256, n_band=0, n_adaptive=0, n_bd=32,
+        stages=(StageSpec(depth=3, width=24,
+                          adam_epochs=1500, lbfgs_epochs=1500),),
+        grid=64, lw=(1.0, 0.0), testing_size=(101,), pad_features=3,
+        log_every=500,
+    )
+    r = run_inverse(prob, inv, spec)
+    lam = r.coef["lam"]
+    assert abs(lam - PI**2) / PI**2 < 1e-2, lam
+    # eigenfunction up to sign: normalized correlation with sin(pi x)
+    z = jnp.linspace(0.0, 1.0, 201)[:, None]
+    u = np.asarray(r.predict(z))[:, 0]
+    s = np.sin(PI * np.asarray(z)[:, 0])
+    corr = abs(float(np.dot(u, s))) / (
+        np.linalg.norm(u) * np.linalg.norm(s) + 1e-30)
+    assert corr > 0.999, corr
+    # the amplitude pin held: mean u^2 ~ normalize
+    assert abs(float(np.mean(u * u)) - 0.5) < 0.05
+
+
+@pytest.mark.slow
+def test_eigen_second_mode():
+    """Initializing lam near 4 pi^2 selects the SECOND eigenpair — the
+    identification is local in the spectrum, as designed."""
+    prob = _eigen_problem_1d()
+    inv = InverseSpec(params=("lam",), init=(40.0,), n_obs=128,
+                      normalize=0.5, obs_weight=30.0)
+    spec = TrainSpec(
+        n_col=384, n_band=0, n_adaptive=0, n_bd=32,
+        stages=(StageSpec(depth=3, width=32, scl=2.0,
+                          adam_epochs=3000, lbfgs_epochs=3000),),
+        grid=64, lw=(1.0, 0.0), testing_size=(101,), pad_features=3,
+        log_every=1500,
+    )
+    r = run_inverse(prob, inv, spec)
+    lam = r.coef["lam"]
+    assert abs(lam - 4 * PI**2) / (4 * PI**2) < 2e-2, lam
+    z = jnp.linspace(0.0, 1.0, 201)[:, None]
+    u = np.asarray(r.predict(z))[:, 0]
+    s2 = np.sin(2 * PI * np.asarray(z)[:, 0])
+    corr = abs(float(np.dot(u, s2))) / (
+        np.linalg.norm(u) * np.linalg.norm(s2) + 1e-30)
+    assert corr > 0.99, corr

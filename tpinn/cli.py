@@ -139,10 +139,16 @@ def cmd_invert(args):
     # override states the same physics with the coefficients unknown
     problem = problems.get_problem(args.problem)
     problem = dataclasses.replace(problem, equation=args.equation)
+    if args.normalize > 0:
+        # eigen mode: the preset's analytic solution solves its ORIGINAL
+        # equation, not the eigenproblem — drop it so no bogus rel-L2 is
+        # reported (the preset supplies only domain + homogeneous BCs)
+        problem = dataclasses.replace(problem, exact=None)
 
     inv = InverseSpec(params=tuple(names), init=tuple(inits),
                       n_obs=args.n_obs, obs_noise=args.obs_noise,
-                      obs_weight=args.obs_weight, obs_seed=args.obs_seed)
+                      obs_weight=args.obs_weight, obs_seed=args.obs_seed,
+                      normalize=args.normalize)
     spec = TrainSpec(
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.weight_f, 0.0), seed=args.seed,
@@ -249,6 +255,11 @@ def main(argv=None):
                    metavar="NAME=INIT",
                    help="unknown coefficient + initial guess (repeatable)")
     i.add_argument("--n-obs", type=int, default=200)
+    i.add_argument("--normalize", type=float, default=0.0,
+                   help="EIGEN mode: > 0 replaces observations with a "
+                        "mean-square amplitude pin (e.g. 0.5 for sin "
+                        "eigenfunctions); the unknown coefficient "
+                        "converges to an eigenvalue near its init")
     i.add_argument("--obs-noise", type=float, default=0.0)
     i.add_argument("--obs-weight", type=float, default=1.0)
     i.add_argument("--obs-seed", type=int, default=0)

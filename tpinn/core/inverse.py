@@ -57,12 +57,23 @@ class InverseSpec:
     obs_noise: float = 0.0
     obs_weight: float = 1.0
     obs_seed: int = 0
+    # EIGENVALUE mode: > 0 replaces the observation MSE with the
+    # normalization penalty (mean u² over n_obs domain points − normalize)²
+    # — no oracle or observations needed.  The residual of
+    # ``"u_xx + lam*u"`` with homogeneous BCs has the trivial minimum
+    # u ≡ 0 at ANY lam; pinning the solution's mean-square excludes it, so
+    # the joint optimization converges to an eigenpair near the initial
+    # guess (λ rides the same coefficient machinery as any unknown).
+    # For -u'' = λu on [0,1]: normalize=0.5 targets ‖sin πx‖²
+    normalize: float = 0.0
 
     def __post_init__(self):
         if len(self.params) != len(self.init):
             raise ValueError("InverseSpec.init must align with .params")
         if not self.params:
             raise ValueError("InverseSpec needs at least one parameter")
+        if self.normalize < 0:
+            raise ValueError("InverseSpec.normalize must be >= 0")
 
 
 @dataclass
@@ -86,6 +97,7 @@ def make_inverse_loss(
     residual_weight_fn: Optional[Callable[[Array], Array]] = None,
     obs_weight: float = 1.0,
     bc_operators=None,
+    normalize: float = 0.0,
 ):
     """Joint loss over ``params = {"net": net_pytree, "coef": {name: scalar}}``.
 
@@ -108,7 +120,12 @@ def make_inverse_loss(
             bd_val = (op.residual(f_u, z_bd, coef) if op is not None
                       else f_u(z_bd))
             data_errs.append(loss_mod.ms_error(bd_val - u_bd))
-        obs_err = loss_mod.ms_error(f_u(z_obs) - u_obs)
+        if normalize > 0.0:
+            # eigen mode: pin the mean-square amplitude instead of values
+            u_n = f_u(z_obs)
+            obs_err = (jnp.mean(u_n * u_n) - normalize)[None] ** 2
+        else:
+            obs_err = loss_mod.ms_error(f_u(z_obs) - u_obs)
         data_errs.append(obs_err)
         data_err = jnp.concatenate(data_errs)
 
@@ -226,15 +243,25 @@ def run_inverse(
                  zip(inv.params, inv.init)},
     }
 
-    if observations is not None:
+    if inv.normalize > 0.0:
+        # eigen mode: fixed LHS normalization points, no labels needed
+        z_obs = sample.lhs_box(jax.random.PRNGKey(inv.obs_seed),
+                               inv.n_obs, lb, ub, dtype)
+        u_obs = jnp.zeros((inv.n_obs, 1), dtype)
+        log(f"inverse: eigen mode — {len(inv.params)} coefficient(s) "
+            f"{inv.params}, mean-square normalization {inv.normalize:g} "
+            f"over {inv.n_obs} points")
+    elif observations is not None:
         z_obs = jnp.asarray(observations[0], dtype)
         u_obs = jnp.asarray(observations[1], dtype)
         if u_obs.ndim == 1:
             u_obs = u_obs[:, None]
+        log(f"inverse: {len(inv.params)} coefficient(s) {inv.params}, "
+            f"{z_obs.shape[0]} observations (noise {inv.obs_noise:g})")
     else:
         z_obs, u_obs = synth_observations(problem, inv, dtype)
-    log(f"inverse: {len(inv.params)} coefficient(s) {inv.params}, "
-        f"{z_obs.shape[0]} observations (noise {inv.obs_noise:g})")
+        log(f"inverse: {len(inv.params)} coefficient(s) {inv.params}, "
+            f"{z_obs.shape[0]} observations (noise {inv.obs_noise:g})")
 
     if mesh is None:
         _rc = lambda n: n
@@ -274,7 +301,7 @@ def run_inverse(
         bc_ops = None
     loss_fn = make_inverse_loss(
         predictor, compiled, z_obs, u_obs, source_fn, rw_fn, inv.obs_weight,
-        bc_operators=bc_ops,
+        bc_operators=bc_ops, normalize=inv.normalize,
     )
     info_width = loss_mod.loss_info_width(len(problem.bc_groups)) + 1
 
@@ -348,7 +375,15 @@ def run_inverse(
                   if problem.exact is not None else None)
     rel_l2 = None
     if exact_star is not None:
-        rel_l2 = float(loss_mod.relative_l2(u_star, exact_star))
+        if inv.normalize > 0.0:
+            # eigen mode: the eigenfunction's sign is arbitrary — compare
+            # against the closer of ±exact
+            rel_l2 = min(
+                float(loss_mod.relative_l2(u_star, exact_star)),
+                float(loss_mod.relative_l2(u_star, -exact_star)),
+            )
+        else:
+            rel_l2 = float(loss_mod.relative_l2(u_star, exact_star))
         log(f"inverse: solution rel-L2 {rel_l2:.3e}")
 
     history = (np.concatenate([hist_adam, hist_lbfgs], axis=0)
