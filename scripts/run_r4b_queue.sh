@@ -55,6 +55,12 @@ run nd1 3600 --problem poisson_3d --stages "5x64:tanh" \
   --n-col 4000 --n-band 1000 --n-adaptive 1000 --n-bd 200 --lw0 1.0 \
   --grid 31 --lsq-polish auto --hard-bc --save-artifacts
 
+# ---- L-shaped Laplace shipped recipe (non-box domain) on TPU ----
+run ls1 2400 --problem lshape_laplace --stages "4x48:tanh" \
+  --adam 6000 --lbfgs 6000 --n-col 2048 --n-band 512 \
+  --n-adaptive 1024 --n-bd 128 --lw0 1.0 --grid 64 \
+  --pad-features 3 --save-artifacts
+
 # ---- ring-penalty helmholtz (hZ config + ring) ----
 run hR1 9000 --problem helmholtz_2d \
   --stages "4x128:tanh:ff64:fs10,4x128:tanh:ff64:fs10:warm" \

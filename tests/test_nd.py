@@ -11,6 +11,7 @@ d ≥ 3 (metrics and checkpoints unchanged).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpinn.core import sample
 from tpinn.core.train import ProblemSpec, StageSpec, TrainSpec, run_training
@@ -126,3 +127,66 @@ def test_train_poisson_3d_soft_bc():
     )
     r = run_training(_poisson_3d(hard=False), spec)
     assert r.rel_l2 < 8e-2
+
+
+# ---------------------------------------------------------------------------
+# Non-box domains: the masked L-shape
+# ---------------------------------------------------------------------------
+
+
+def test_lshape_preset_consistency():
+    """The L-shape preset's exact field is harmonic on the L (residual ~ 0
+    where the mask is 1), every BC group's trace matches it, the two inner
+    edges carry u = 0, and the mask excludes exactly the dead quadrant."""
+    from tpinn import problems
+    from tpinn.core import pde as pde_mod
+
+    prob = problems.lshape_laplace()
+    compiled = pde_mod.compile_pde(prob.equation, prob.coords)
+    rng = np.random.RandomState(11)
+    z = jnp.asarray(rng.uniform(-1, 1, (512, 2)), jnp.float32)
+    m = np.asarray(prob.eval_mask(z))[:, 0]
+    np.testing.assert_array_equal(
+        m, ((np.asarray(z)[:, 0] <= 0) | (np.asarray(z)[:, 1] >= 0))
+        .astype(np.float32))
+    # harmonic away from the corner (f32 second derivatives of r^{2/3}
+    # noise up near r=0: exclude a small disc)
+    r = np.linalg.norm(np.asarray(z), axis=1)
+    keep = (m > 0) & (r > 0.2)
+    f = np.asarray(compiled.residual(prob.exact, z))[:, 0]
+    assert np.abs(f[keep]).max() < 5e-2
+    for g in prob.bc_groups:
+        zc = jnp.asarray(np.linspace(g.lo, g.hi, 17), jnp.float32)
+        np.testing.assert_allclose(np.asarray(g.value_fn(zc))[:, 0],
+                                   np.asarray(prob.exact(zc))[:, 0],
+                                   atol=1e-5)
+    # inner edges are homogeneous
+    inner_y0 = jnp.asarray(np.stack([np.linspace(0.05, 1, 9),
+                                     np.zeros(9)], axis=1), jnp.float32)
+    assert float(jnp.abs(prob.exact(inner_y0)).max()) < 1e-6
+    inner_x0 = jnp.asarray(np.stack([np.zeros(9),
+                                     np.linspace(-1, -0.05, 9)], axis=1),
+                           jnp.float32)
+    assert float(jnp.abs(prob.exact(inner_x0)).max()) < 1e-5
+
+
+@pytest.mark.slow
+def test_lshape_trains(tmp_path):
+    """Masked-box posing end-to-end: the corner-singularity benchmark
+    reaches the 1e-2 class at a ~90 s CPU budget, with the metric and the
+    adaptive density restricted to the true domain."""
+    from tpinn import problems
+    from tpinn.core import train
+
+    prob = problems.lshape_laplace()
+    spec = train.TrainSpec(
+        n_col=768, n_band=128, n_adaptive=384, n_bd=48,
+        testing_size=(61, 61), lw=(1.0, 0.0), grid=48, pad_features=3,
+        stages=(train.StageSpec(depth=4, width=40, scl=1.0, epsil=1.0,
+                                adam_epochs=1500, lbfgs_epochs=1500),),
+        log_every=1000,
+    )
+    lines = []
+    res = train.run_training(prob, spec, log_fn=lines.append)
+    assert any("masked" in ln for ln in lines)
+    assert res.rel_l2 is not None and res.rel_l2 < 5e-2

@@ -64,9 +64,18 @@ class ProblemSpec:
     # hard Dirichlet constraints: coordinate-expression strings
     # (lift, bubble) -> u = lift(z) + bubble(z)·N(z); see net.wrap_hard_bc
     hard_bc: Optional[Tuple[str, str]] = None
-    # pointwise residual weight w(z) (coordinate-expression string):
-    # loss_eqn = MSE(w·residual).  E.g. "exp(4*t)" on decaying problems.
-    residual_weight: Optional[str] = None
+    # pointwise residual weight w(z) (coordinate-expression string, or a
+    # callable z -> [N,1]): loss_eqn = MSE(w·residual).  E.g. "exp(4*t)"
+    # on decaying problems, or a 0/1 indicator to pose a NON-BOX domain
+    # inside its bounding box (collocation outside the true domain is
+    # weighted out; BC groups trace the real boundary) — see
+    # problems.lshape_laplace
+    residual_weight: Optional[object] = None
+    # evaluation mask m(z) -> [N,1] in {0,1} (callable): rel-L2 and the
+    # adaptive density are restricted to m > 0.  Required for masked
+    # non-box domains, where the predictor is unconstrained (and the
+    # oracle meaningless) outside the true domain
+    eval_mask: Optional[Callable[[Array], Array]] = None
 
     def __post_init__(self):
         if self.feature_kinds is None:
@@ -379,9 +388,14 @@ def eval_stage_f64(predictor, params, X_star, compiled, source_fn, exact):
     return u, f, e
 
 
-def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None):
+def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None,
+                    mask_fn=None):
     """predictF equivalent (software.py:608-623): residual² density,
-    normalized + 0.5 floor, Gaussian-smoothed — fully on-device."""
+    normalized + 0.5 floor, Gaussian-smoothed — fully on-device.
+
+    ``mask_fn`` (ProblemSpec.eval_mask) zeroes the density outside a
+    masked non-box domain, so adaptive points never chase the
+    meaningless residual there."""
     if len(grids) == 1:
         x_nodes = grids[0]
 
@@ -390,6 +404,8 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None)
             if source_fn is not None:
                 f0 = f0 - source_fn(x_nodes)
             f_sq = f0**2
+            if mask_fn is not None:
+                f_sq = f_sq * mask_fn(x_nodes)
             f_nm = f_sq / jnp.mean(f_sq) + 0.5
             return sample.gaussian_smooth_1d(f_nm, 1.0, 5)
 
@@ -404,6 +420,8 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None)
             if source_fn is not None:
                 f0 = f0 - source_fn(z_star)
             f_sq = f0**2
+            if mask_fn is not None:
+                f_sq = f_sq * mask_fn(z_star)
             f_nm = f_sq / jnp.mean(f_sq) + 0.5
             F = jnp.reshape(f_nm, R.shape)
             return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
@@ -419,6 +437,8 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None)
         if source_fn is not None:
             f0 = f0 - source_fn(z_nd)
         f_sq = f0**2
+        if mask_fn is not None:
+            f_sq = f_sq * mask_fn(z_nd)
         f_nm = f_sq / jnp.mean(f_sq) + 0.5
         return sample.gaussian_smooth_nd(jnp.reshape(f_nm, shape_nd))
 
@@ -491,8 +511,11 @@ def run_training(
         hard_fns = tuple(
             pde.compile_coord_expr(e, problem.coords) for e in problem.hard_bc
         )
-    rw_fn = (pde.compile_coord_expr(problem.residual_weight, problem.coords)
-             if problem.residual_weight else None)
+    rw_fn = None
+    if problem.residual_weight is not None:
+        rw_fn = (problem.residual_weight if callable(problem.residual_weight)
+                 else pde.compile_coord_expr(problem.residual_weight,
+                                             problem.coords))
     feature_map = net.feature_map_for(problem.feature_kinds,
                                       pad_to=spec.pad_features)
     lb = jnp.asarray(problem.lb, dtype)
@@ -651,7 +674,8 @@ def run_training(
         )
         F0 = jnp.ones_like(grids[0])
 
-        density_fn = make_density_fn(predictor, compiled_st, grids, source_fn)
+        density_fn = make_density_fn(predictor, compiled_st, grids, source_fn,
+                                     mask_fn=problem.eval_mask)
 
         ring_arg = None
         if spec.ring_weight > 0:
@@ -1240,9 +1264,18 @@ def run_training(
         # u_star/exact64 are the final stage's float64 host evaluation;
         # numpy (not loss_mod.relative_l2/jnp) keeps them f64 — jnp would
         # silently downcast to f32 whenever x64 is off
-        rel_l2 = float(np.linalg.norm(u_star - exact64)
-                       / np.linalg.norm(exact64))
-        log(f"final rel-L2 vs analytic: {rel_l2:.4e}")
+        if problem.eval_mask is not None:
+            # masked non-box domain: measure only where the PDE was posed
+            m = np.asarray(problem.eval_mask(X_star), np.float64).reshape(-1)
+            du = (u_star.reshape(-1) - exact64.reshape(-1)) * m
+            rel_l2 = float(np.linalg.norm(du)
+                           / np.linalg.norm(exact64.reshape(-1) * m))
+            log(f"final rel-L2 vs analytic (masked, "
+                f"{int(m.sum())}/{m.size} pts): {rel_l2:.4e}")
+        else:
+            rel_l2 = float(np.linalg.norm(u_star - exact64)
+                           / np.linalg.norm(exact64))
+            log(f"final rel-L2 vs analytic: {rel_l2:.4e}")
 
     return TrainResult(
         problem=problem, spec=spec, stages=stage_results,

@@ -196,6 +196,56 @@ def poisson_3d() -> ProblemSpec:
     )
 
 
+def lshape_laplace() -> ProblemSpec:
+    """Beyond the reference (box domains only): Laplace on the L-shaped
+    domain [−1,1]² ∖ (0,1]×[−1,0) — the classic re-entrant-corner
+    benchmark.  Exact singular solution u = r^{2/3} sin(2θ/3) with
+    θ ∈ [0, 3π/2] measured counterclockwise from the inner edge y=0, x>0
+    (u ∈ H^{1+2/3−ε} only: the gradient blows up at the corner — the
+    standard stress test for adaptive refinement).
+
+    Posed on the BOUNDING box with a 0/1 ``residual_weight`` indicator
+    that removes the dead quadrant from the residual, BC groups tracing
+    the true L boundary (the two inner edges carry u = 0), and
+    ``eval_mask`` restricting the metric and the adaptive density to the
+    real domain.  No sampler changes needed — the masked-box posing is
+    the framework's general non-box recipe."""
+    def _theta(z):
+        th = jnp.arctan2(z[:, 1:2], z[:, 0:1])
+        return jnp.where(th < 0, th + 2 * jnp.pi, th)
+
+    def exact(z):
+        r = jnp.sqrt(z[:, 0:1] ** 2 + z[:, 1:2] ** 2)
+        return r ** (2.0 / 3.0) * jnp.sin(2.0 * _theta(z) / 3.0)
+
+    def inside(z):
+        # 1 on the L (x <= 0 or y >= 0), 0 on the dead quadrant
+        x, y = z[:, 0:1], z[:, 1:2]
+        return jnp.where(jnp.logical_or(x <= 0.0, y >= 0.0), 1.0, 0.0)
+
+    edges = (
+        ((-1.0, -1.0), (-1.0, 1.0)),    # x = −1
+        ((-1.0, 1.0), (1.0, 1.0)),      # y = 1
+        ((1.0, 0.0), (1.0, 1.0)),       # x = 1, upper half
+        ((-1.0, -1.0), (0.0, -1.0)),    # y = −1, left half
+        ((0.0, -1.0), (0.0, 0.0)),      # inner edge x = 0 (u = 0)
+        ((0.0, 0.0), (1.0, 0.0)),       # inner edge y = 0 (u = 0)
+    )
+    return ProblemSpec(
+        name="lshape_laplace",
+        equation="u_xx + u_yy",
+        coords=("x", "y"),
+        lb=(-1.0, -1.0),
+        ub=(1.0, 1.0),
+        bc_groups=tuple(
+            sample.BCGroup(lo=lo, hi=hi, value_fn=exact) for lo, hi in edges
+        ),
+        exact=exact,
+        residual_weight=inside,
+        eval_mask=inside,
+    )
+
+
 PRESETS = {
     "annulus_laplace": annulus_laplace,
     "poisson_1d": poisson_1d,
@@ -204,6 +254,7 @@ PRESETS = {
     "heat_2d": heat_2d,
     "helmholtz_2d": helmholtz_2d,
     "poisson_3d": poisson_3d,
+    "lshape_laplace": lshape_laplace,
 }
 
 

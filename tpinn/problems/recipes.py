@@ -162,6 +162,21 @@ RECIPES = {
             lsq_polish="auto", testing_size=(48, 48, 48),
         ),
         hard_bc=True, expected_rel_l2=8.1e-4, run_tag="nd1"),
+    # ls1: L-shaped Laplace (non-box domain via masked residual) — the
+    # re-entrant-corner singularity caps a plain MLP near 1e-2; adaptive
+    # density (masked to the L) concentrates points at the corner.
+    # Measured on CPU; the queue revalidates on hardware.  Deflation off:
+    # the box-spectral correctors don't apply to a masked domain.
+    "lshape_laplace": Recipe(
+        spec=TrainSpec(
+            n_col=2048, n_band=512, n_adaptive=1024, n_bd=128,
+            lw=(1.0, 0.0), grid=64,
+            stages=(StageSpec(depth=4, width=48, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=6000, lbfgs_epochs=6000),),
+            pad_features=3, testing_size=(81, 81),
+        ),
+        hard_bc=False, expected_rel_l2=8.1e-3, run_tag="ls1"),
 }
 
 
