@@ -73,9 +73,19 @@ def _recipe_train_fields(name: str) -> Dict | None:
     }
 
 
+def _ui_expressible(p) -> bool:
+    """The web form carries a 2-D box, numeric-or-expression BC values and
+    an optional residual-weight EXPRESSION: presets with d >= 3, callable
+    masks (non-box domains), or value_fn-only BC groups are CLI/API-only."""
+    if p.dim > 2:
+        return False
+    if callable(p.residual_weight) or p.eval_mask is not None:
+        return False
+    return all(g.value_fn is None or g.value_expr is not None
+               for g in p.bc_groups)
+
+
 def preset_names() -> List[str]:
-    # the web form is 2-D (reference parity: x/y domain inputs only);
-    # d >= 3 presets are CLI/API-only (python -m tpinn train --recipe)
     return sorted(
-        n for n in problems.PRESETS if problems.get_problem(n).dim <= 2
+        n for n in problems.PRESETS if _ui_expressible(problems.get_problem(n))
     )
