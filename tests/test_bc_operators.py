@@ -140,3 +140,66 @@ def test_system_flux_bc():
     )
     r = run_system(prob, spec)
     assert r.rel_l2 < 3e-3
+
+
+def test_elliptic_interface_two_materials():
+    """Discontinuous-coefficient (two-material) elliptic interface problem
+    — FEM bread-and-butter that vanilla single-net PINNs cannot represent
+    (the solution has a derivative JUMP at the interface).  Composed
+    entirely from existing machinery: one field per material, each
+    material's Laplace residual gated by a sharp tanh indicator inside the
+    equation string, and the interface conditions as point groups — value
+    continuity ``u − v = 0`` and flux continuity ``κ₁u_x − κ₂v_x = 0`` via
+    operator BCs.  κ₁=1, κ₂=10, u(0)=0, u(1)=1: exact flux
+    q = 1/(a/κ₁ + (1−a)/κ₂), piecewise-linear solution."""
+    k1, k2, a = 1.0, 10.0, 0.5
+    q = 1.0 / (a / k1 + (1.0 - a) / k2)
+
+    def exact(z):
+        x = z[:, :1]
+        u_left = q * x / k1
+        u_right = 1.0 + q * (x - 1.0) / k2
+        return jnp.concatenate([u_left, u_right], axis=1)
+
+    prob = SystemSpec(
+        name="interface_1d",
+        equations=(
+            f"(0.5 - 0.5*tanh(200*(x - {a})))*u_xx",
+            f"(0.5 + 0.5*tanh(200*(x - {a})))*v_xx",
+        ),
+        fields=("u", "v"), coords=("x",), lb=(0.0,), ub=(1.0,),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0,), hi=(0.0,), value=0.0, field=0),
+            sample.BCGroup(lo=(1.0,), hi=(1.0,), value=1.0, field=1),
+            # interface: continuity of value and of flux
+            sample.BCGroup(lo=(a,), hi=(a,), value=0.0, operator="u - v"),
+            sample.BCGroup(lo=(a,), hi=(a,), value=0.0,
+                           operator=f"{k1}*u_x - {k2}*v_x"),
+        ),
+        exact=exact,
+    )
+    spec = _poisson_spec(
+        stages=(StageSpec(depth=3, width=24,
+                          adam_epochs=800, lbfgs_epochs=1200),),
+    )
+    r = run_system(prob, spec)
+    # (rel_l2_fields compares each field on the WHOLE box, including the
+    # other material's half where it is ungated — only a loose sanity
+    # bound; the physical assertions are branch-restricted below)
+    assert r.rel_l2_fields[0] < 2e-2, r.rel_l2_fields
+    assert r.rel_l2_fields[1] < 2e-2, r.rel_l2_fields
+    # the PHYSICAL solution: u on [0,a], v on [a,1] — derivative jump at a
+    z_l = jnp.linspace(0.0, a, 101)[:, None]
+    z_r = jnp.linspace(a, 1.0, 101)[:, None]
+    u_l = np.asarray(r.predict(z_l))[:, 0]
+    v_r = np.asarray(r.predict(z_r))[:, 1]
+    np.testing.assert_allclose(u_l, np.asarray(exact(z_l))[:, 0], atol=3e-3)
+    np.testing.assert_allclose(v_r, np.asarray(exact(z_r))[:, 1], atol=3e-3)
+    # flux continuity held: k1 u'(a-) == k2 v'(a+) == q
+    eps = 1e-3
+    du = (float(r.predict(jnp.array([[a]]))[0, 0])
+          - float(r.predict(jnp.array([[a - eps]]))[0, 0])) / eps
+    dv = (float(r.predict(jnp.array([[a + eps]]))[0, 1])
+          - float(r.predict(jnp.array([[a]]))[0, 1])) / eps
+    assert abs(k1 * du - q) < 0.05 * q
+    assert abs(k2 * dv - q) < 0.05 * q
