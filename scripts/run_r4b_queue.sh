@@ -70,6 +70,24 @@ run hR1 9000 --problem helmholtz_2d \
   --lsq-polish auto --pad-features 3 --ring-weight 0.5 --deflation full \
   --save-artifacts
 
+# ---- Navier-Stokes system presets on TPU (capability evidence) ----
+if [ ! -f out/kov_tpu/system.json ]; then
+  echo "=== kv1 start $(date +%T) ==="
+  timeout 3600 python -m tpinn system --name kovasznay \
+    --adam 12000 --lbfgs 8000 --depth 5 --width 64 --n-col 8000 \
+    --n-adaptive 2000 --n-bd 400 --out out/kov_tpu \
+    > out/logs/kv1.log 2>&1
+  echo "=== kv1 end rc=$? $(date +%T) ==="
+fi
+if [ ! -f out/tg_tpu/system.json ]; then
+  echo "=== tg1 start $(date +%T) ==="
+  timeout 3600 python -m tpinn system --name taylor_green \
+    --adam 10000 --lbfgs 8000 --depth 5 --width 64 --n-col 8000 \
+    --n-adaptive 2000 --n-bd 300 --out out/tg_tpu \
+    > out/logs/tg1.log 2>&1
+  echo "=== tg1 end rc=$? $(date +%T) ==="
+fi
+
 # ---- inverse mode on TPU (capability evidence, not a gate) ----
 if [ ! -f out/inverse_tpu/inverse.json ]; then
   echo "=== iV1 start $(date +%T) ==="
