@@ -273,3 +273,30 @@ def test_training_request_options_whitelist():
     assert "unknown option" in bad_key.validate()
     bad_num = TrainingRequest(**base, options={"lr_min": "tiny"})
     assert "numeric" in bad_num.validate()
+
+
+def test_solution_figure_real_axes_both_key_spellings(tmp_path):
+    """load_solution_residual uses the artifact's REAL axes under both the
+    stage-1 ('t_vec') and stage-2 ('t') key spellings (reference key
+    drift, artifacts.write_solution_residual); files without axes fall
+    back to the reference's hardcoded annulus window."""
+    import numpy as np
+
+    from tpinn.app.figure_data import load_solution_residual
+    from tpinn.utils import artifacts
+
+    r = np.linspace(0.0, 1.0, 8)
+    t = np.linspace(0.0, 0.5, 8)
+    U = np.random.RandomState(0).rand(8, 8)
+    for stage in (1, 2):
+        path = tmp_path / f"solution_residual_{stage}.npz"
+        artifacts.write_solution_residual(path, r, t, U, U, stage)
+        d = load_solution_residual(path)
+        assert d["x"][0] == 0.0 and abs(d["x"][-1] - 1.0) < 1e-9
+        assert d["y"][0] == 0.0 and abs(d["y"][-1] - 0.5) < 1e-9
+    # legacy file without axes: reference hardcodes r in [0.1,1], t in [0,2pi]
+    legacy = tmp_path / "legacy.npz"
+    np.savez(legacy, U=U, F=U)
+    d = load_solution_residual(legacy)
+    assert abs(d["x"][0] - 0.1) < 1e-9
+    assert abs(d["y"][-1] - 2 * np.pi) < 1e-9

@@ -73,6 +73,18 @@ GATED_IDS = ["input-equation"] + [f"input-{k}" for k in FIELD_KEYS] + [
 ]
 
 
+def _oracle_names() -> list:
+    """Presets usable as observation oracles (2-D, analytic solution) —
+    derived from the registry so new presets appear without UI edits."""
+    from tpinn import problems
+
+    return sorted(
+        n for n in problems.PRESETS
+        if problems.get_problem(n).exact is not None
+        and problems.get_problem(n).dim <= 2
+    )
+
+
 def _declared_params(inverse_params) -> tuple:
     """Coefficient names declared in the UI inverse field, () on any
     malformed input (the grammar check then rejects the bare unknown)."""
@@ -211,9 +223,8 @@ def create_app(data_root: str = "data"):
                   size="sm"),
         dcc.Dropdown(id="opt-oracle", value="", clearable=True,
                      placeholder="observation oracle (inverse mode)",
-                     options=[{"label": n, "value": n} for n in
-                              ("annulus_laplace", "poisson_2d", "heat_2d",
-                               "helmholtz_2d", "burgers_1d")]),
+                     options=[{"label": n, "value": n}
+                              for n in _oracle_names()]),
         dbc.Button("Start Training", id="btn-start-training", color="primary",
                    disabled=False),
         dcc.Tabs(id="result-tabs-1", value="loss_1", children=[

@@ -52,8 +52,12 @@ def load_solution_residual(path, upsample: int = 4) -> Dict:
         r = np.linspace(float(d["r"][0]), float(d["r"][-1]), nx)
     else:
         r = np.linspace(0.1, 1.0, nx)
-    if "t_vec" in d.files and d["t_vec"].size >= 2:
-        t = np.linspace(float(d["t_vec"][0]), float(d["t_vec"][-1]), ny)
+    # stage-1 files store the second axis as 't_vec', stage-2 as 't'
+    # (reference key drift, write_solution_residual) — honor both
+    t_ax = next((d[k] for k in ("t_vec", "t")
+                 if k in d.files and d[k].size >= 2), None)
+    if t_ax is not None:
+        t = np.linspace(float(t_ax[0]), float(t_ax[-1]), ny)
     else:
         t = np.linspace(0, 2 * np.pi, ny)
     return {

@@ -94,11 +94,9 @@ canvas{background:#fff;border:1px solid #e3e8ee;border-radius:4px;width:100%}
   <div><label>Defect correction</label>
    <select id="deflation"><option>off</option><option>auto</option><option>full</option></select></div></div>
   <div class="row"><div><label>Unknown coefficients (inverse, e.g. lam=0.5)</label>
-   <input id="inverse_params" value="" placeholder="name=init,…"></div>
+   <input id="inverse_params" value="" placeholder="name=init,…" data-optional="1"></div>
   <div><label>Observation oracle</label>
-   <select id="oracle"><option value=""></option><option>annulus_laplace</option>
-    <option>poisson_2d</option><option>heat_2d</option><option>helmholtz_2d</option>
-    <option>burgers_1d</option></select></div></div>
+   <select id="oracle"><option value=""></option>%ORACLE_OPTIONS%</select></div></div>
   <div style="margin-top:10px"><button id="start" onclick="start()">Start Training</button></div>
  </div>
  <div class="card"><h3>Training log</h3><div id="log"></div></div>
@@ -185,7 +183,7 @@ let eqValid = true, running = false;
 function formReady(){
  if(!eqValid) return false;
  for(const el of document.querySelectorAll("#left input"))
-  if(el.value.trim()==="") return false;
+  if(!el.dataset.optional && el.value.trim()==="") return false;
  return true;
 }
 function gate(){
@@ -196,13 +194,17 @@ function gate(){
 document.getElementById("left").addEventListener("input", gate);
 
 const eqInput = document.getElementById("equation");
-eqInput.addEventListener("input", async () => {
- const r = await fetch("/api/validate?eq="+encodeURIComponent(eqInput.value));
+const invInput = document.getElementById("inverse_params");
+async function revalidate(){
+ const r = await fetch("/api/validate?eq="+encodeURIComponent(eqInput.value)
+   +"&params="+encodeURIComponent(invInput.value.trim()));
  const d = await r.json();
  eqValid = d.valid;
  eqInput.classList.toggle("invalid", !d.valid);
  gate();
-});
+}
+eqInput.addEventListener("input", revalidate);
+invInput.addEventListener("input", revalidate);
 gate();
 
 async function start(){
@@ -389,6 +391,20 @@ render();
 """
 
 
+def _render_page() -> str:
+    """PAGE with the oracle <option> list derived from the preset registry
+    (only presets carrying an analytic solution can label observations)."""
+    from tpinn import problems
+
+    opts = "".join(
+        f"<option>{n}</option>" for n in sorted(problems.PRESETS)
+        if problems.get_problem(n).exact is not None
+        and problems.get_problem(n).dim <= 2
+    )
+    return PAGE.replace("%ORACLE_OPTIONS%", opts)
+
+
+
 def make_handler(manager: SessionManager):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str):
@@ -408,10 +424,21 @@ def make_handler(manager: SessionManager):
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             if url.path == "/":
-                self._send(200, PAGE.encode(), "text/html; charset=utf-8")
+                self._send(200, _render_page().encode(),
+                           "text/html; charset=utf-8")
             elif url.path == "/api/validate":
+                inv_params = ()
+                raw = q.get("params", "")
+                if raw:
+                    from tpinn.core.train import parse_coef_list
+
+                    try:
+                        inv_params, _ = parse_coef_list(raw)
+                    except ValueError:
+                        pass   # bad coef list: validate the bare equation
                 ok = pde.validate_equation(q.get("eq", ""),
-                                           coords=("r", "t", "x", "y"))
+                                           coords=("r", "t", "x", "y"),
+                                           params=inv_params)
                 self._json({"valid": bool(ok)})
             elif url.path == "/api/presets":
                 from tpinn.app.presets import preset_names

@@ -210,8 +210,11 @@ def run_inverse(
         pde.compile_coord_expr(problem.source, problem.coords)
         if problem.source else None
     )
-    rw_fn = (pde.compile_coord_expr(problem.residual_weight, problem.coords)
-             if problem.residual_weight else None)
+    rw_fn = None
+    if problem.residual_weight is not None:
+        rw_fn = (problem.residual_weight if callable(problem.residual_weight)
+                 else pde.compile_coord_expr(problem.residual_weight,
+                                             problem.coords))
     feature_map = net.feature_map_for(problem.feature_kinds,
                                       pad_to=spec.pad_features)
     lb = jnp.asarray(problem.lb, dtype)
@@ -369,7 +372,15 @@ def run_inverse(
 
     from tpinn.core.train import eval_grid
 
-    X_star, axes, _ = eval_grid(problem, spec.testing_size, dtype)
+    # a testing_size whose rank mismatches the problem (TrainSpec defaults
+    # to 2-D) falls back to a per-axis grid — same guard as run_system
+    tsize = spec.testing_size
+    if len(tsize) != problem.dim:
+        per_axis = {1: 256, 2: 64, 3: 24}.get(problem.dim, 12)
+        tsize = (per_axis,) * problem.dim
+        log(f"inverse: testing_size {spec.testing_size} is not "
+            f"{problem.dim}-D; evaluating on {tsize}")
+    X_star, axes, _ = eval_grid(problem, tsize, dtype)
     u_star = predict(X_star)
     exact_star = (jnp.asarray(problem.exact(X_star), dtype)
                   if problem.exact is not None else None)
@@ -438,8 +449,7 @@ def run_inverse(
             if problem.dim == 1:
                 U, F = u_np[:, 0][None, :], f_np[:, 0][None, :]
             else:
-                ny, nx = (int(spec.testing_size[1]),
-                          int(spec.testing_size[0]))
+                ny, nx = int(tsize[1]), int(tsize[0])
                 U, F = u_np.reshape(ny, nx), f_np.reshape(ny, nx)
             _write_stage_artifacts(
                 out, 1, problem, spec, axes, U, F,

@@ -744,7 +744,8 @@ def _coeff_fields(compiled, z, keys):
     return base, C
 
 
-def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
+def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02,
+                     return_details=False):
     """Sine tensor modes in the operator's resonance band — the columns a
     truncated Chebyshev basis cannot represent (a k=20 oscillation needs
     polynomial degree ≳ k, but degree ≳ 20 starts fitting residual noise;
@@ -754,24 +755,30 @@ def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
     of the linearized operator (diagnostic ≤ ``diag_tol``) and (b) has
     eigenvalue ``|ε| ≤ band·|c₀|``.  Returns mixed-basis descriptors
     (("sin", m₁), …) ready for :func:`_basis_value`; empty list when the
-    operator is nonlinear, has no constant c₀, or no mode qualifies."""
+    operator is nonlinear, has no constant c₀, or no mode qualifies.
+
+    ``return_details=True`` returns ``(descs, details)`` with one
+    ``(eps, v_hat, c0)`` per mode (v̂ W-normalized on the caller's grid) so
+    callers that need the eigen-data (ring_penalty_setup) don't recompute
+    the coefficient fields and per-mode operator actions."""
     import itertools
 
     import numpy as np
 
+    empty = ([], []) if return_details else []
     if not compiled.is_linear:
-        return []
+        return empty
     dim = len(lb)
     Wc = W[:, None]
     if () not in compiled.indices:
-        return []
+        return empty
     _, C = _coeff_fields(compiled, z, compiled.indices)
     c0_field = C[()]
     c0 = float(np.sum(c0_field * Wc))
     if abs(c0) < 1e-12 or float(np.std(c0_field)) > 0.01 * abs(c0):
-        return []
+        return empty
 
-    out = []
+    out, details = [], []
     for m in itertools.product(*([range(1, max_mode + 1)] * dim)):
         parts = _mode_partials(m, lb, ub, z, compiled.indices)
         v = (parts[()] if () in parts
@@ -787,7 +794,9 @@ def _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode, diag_tol=0.02):
             continue
         if abs(eps) <= band * abs(c0):
             out.append(tuple(("sin", mj) for mj in m))
-    return out
+            if return_details:
+                details.append((eps, v / np.sqrt(ip_vv), c0))
+    return (out, details) if return_details else out
 
 
 def _host_u_f64(predictor, params, z_np):
@@ -859,21 +868,12 @@ def ring_penalty_setup(
     with force_x64():
         z, W = _box_quadrature(lb, ub, n_grid)
         Wc = W[:, None]
-        modes = _ring_sine_modes(compiled, lb, ub, z, W, band, max_mode)
+        modes, details = _ring_sine_modes(compiled, lb, ub, z, W, band,
+                                          max_mode, return_details=True)
         if not modes:
             return None
-        _, C = _coeff_fields(compiled, z, compiled.indices)
-        c0 = float(np.sum(C[()] * Wc))
         cols = []
-        for desc in modes:
-            v = _basis_value(np, z, desc, lb, ub)
-            Lv = np.zeros((z.shape[0], 1))
-            parts = _basis_partials(desc, lb, ub, z, compiled.indices)
-            for ix in compiled.indices:
-                Lv += C[ix] * parts[ix]
-            norm = float(np.sqrt(np.sum(v * v * Wc)))
-            v_hat = v / norm
-            eps = float(np.sum(v_hat * (Lv / norm) * Wc))
+        for eps, v_hat, c0 in details:
             sign = 1.0 if eps >= 0 else -1.0   # sign(0)=0 must not zero ε
             eps_c = sign * max(abs(eps), eps_floor * abs(c0))
             cols.append((Wc * v_hat / eps_c)[:, 0])

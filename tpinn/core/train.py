@@ -678,7 +678,11 @@ def run_training(
                                      mask_fn=problem.eval_mask)
 
         ring_arg = None
-        if spec.ring_weight > 0:
+        if spec.ring_weight > 0 and problem.eval_mask is not None:
+            log(f"stage {stage_no}: ring penalty inert (masked non-box "
+                "domain: bounding-box quadrature would integrate the "
+                "unconstrained dead region)")
+        elif spec.ring_weight > 0:
             from tpinn.core import polish as polish_mod
 
             setup = polish_mod.ring_penalty_setup(
@@ -1085,7 +1089,17 @@ def run_training(
                 #     layer on the convex subproblem's optimum each time.
                 if spec.lsq_polish not in ("off", "auto", "on"):
                     raise ValueError(f"lsq_polish={spec.lsq_polish!r}")
-                if (spec.lsq_polish != "off" and has_op_bc
+                if spec.lsq_polish != "off" and problem.eval_mask is not None:
+                    # masked non-box domain: the polish's quadrature spans
+                    # the BOUNDING box, and the dead region's residual is
+                    # unconstrained — a solve over it would bake garbage
+                    if spec.lsq_polish == "on":
+                        raise ValueError(
+                            "lsq_polish='on' is not supported on masked "
+                            "(eval_mask) domains")
+                    log(f"stage {stage_no}: lsq_polish skipped "
+                        f"(masked non-box domain)")
+                elif (spec.lsq_polish != "off" and has_op_bc
                         and problem.hard_bc is None):
                     # the polish's soft-BC rows pin VALUES at z_bd
                     # (polish.last_layer_lsq); operator groups (Neumann/
@@ -1142,6 +1156,12 @@ def run_training(
         # --- spectral error correction (final stage only; see TrainSpec)
         defl = None
         if (si == len(spec.stages) - 1 and spec.deflation != "off"
+                and problem.eval_mask is not None):
+            # box-spectral correctors integrate the bounding box; the dead
+            # region's unconstrained residual would pollute every modal
+            # coefficient (recipes for masked domains ship deflation off)
+            log("deflation skipped: masked non-box domain")
+        elif (si == len(spec.stages) - 1 and spec.deflation != "off"
                 and has_op_bc and problem.hard_bc is None):
             # the soft-BC Chebyshev path treats the boundary trace as
             # known Dirichlet data; operator groups don't provide one
@@ -1620,6 +1640,15 @@ def run_pinn_training(
             n_obs=int(inv_opts.get("n_obs") or 200),
             obs_noise=float(inv_opts.get("obs_noise") or 0.0),
         )
+        dropped = [k for k in ("lsq_polish", "deflation")
+                   if getattr(spec, k, "off") != "off"]
+        if spec.ring_weight > 0:
+            dropped.append("ring_weight")
+        if dropped:
+            msg = ("inverse mode: option(s) "
+                   f"{', '.join(dropped)} have no inverse-path "
+                   "implementation and are ignored")
+            (log_fn or (lambda m: print(m, file=sys.stderr)))(msg)
         # single stage: the coefficient must stay live through every phase
         # (no frozen-correction chain in inverse mode)
         single = replace(spec, stages=spec.stages[:1])
