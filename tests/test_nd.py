@@ -190,3 +190,52 @@ def test_lshape_trains(tmp_path):
     res = train.run_training(prob, spec, log_fn=lines.append)
     assert any("masked" in ln for ln in lines)
     assert res.rel_l2 is not None and res.rel_l2 < 5e-2
+
+
+# ---------------------------------------------------------------------------
+# Parametric surrogates: the PDE parameter as an extra coordinate
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_parametric_surrogate_family():
+    """One training run solves a whole PDE FAMILY: the load amplitude mu
+    rides as an extra input coordinate (no derivatives of it appear, so it
+    acts as a variable coefficient), and the trained net is a surrogate
+    u(x, mu) queryable at ANY mu in the range with zero extra solves.
+
+    -u'' = mu pi^2 sin(pi x),  u(0)=u(1)=0,  mu in [0.5, 2]
+    exact: u = mu sin(pi x) — linear in mu, so mid-range generalization
+    is a real check of the parameter axis, not interpolation trivia."""
+    from tpinn.core import train
+
+    prob = ProblemSpec(
+        name="parametric_poisson",
+        equation="u_xx + mu*pi**2*sin(pi*x)",
+        coords=("x", "mu"),
+        lb=(0.0, 0.5), ub=(1.0, 2.0),
+        bc_groups=(
+            # u(0, mu) = u(1, mu) = 0 across the whole parameter range
+            sample.BCGroup(lo=(0.0, 0.5), hi=(0.0, 2.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.5), hi=(1.0, 2.0), value=0.0),
+        ),
+        exact=lambda z: z[:, 1:2] * jnp.sin(jnp.pi * z[:, 0:1]),
+    )
+    spec = TrainSpec(
+        n_col=768, n_band=128, n_adaptive=256, n_bd=48,
+        testing_size=(48, 32), lw=(1.0, 0.0), grid=48, pad_features=3,
+        stages=(StageSpec(depth=3, width=32, scl=1.0, epsil=1.0,
+                          adam_epochs=1500, lbfgs_epochs=1500),),
+        log_every=1000,
+    )
+    res = train.run_training(prob, spec)
+    assert res.rel_l2 is not None and res.rel_l2 < 5e-3
+    # query the surrogate at parameter values never specially sampled
+    x = np.linspace(0, 1, 101)
+    for mu in (0.63, 1.0, 1.77):
+        z = jnp.asarray(np.stack([x, np.full_like(x, mu)], axis=1),
+                        jnp.float32)
+        u = np.asarray(res.predict(z))[:, 0]
+        err = (np.linalg.norm(u - mu * np.sin(np.pi * x))
+               / np.linalg.norm(mu * np.sin(np.pi * x)))
+        assert err < 1e-2, (mu, err)
