@@ -106,6 +106,17 @@ def cmd_train(args):
             "weights": [float(v) for v in res.weights],
         }))
         return
+    if args.patches:
+        from tpinn.core.patch import PatchSpec, run_patched
+
+        n = tuple(int(v) for v in args.patches.lower().split("x"))
+        res = run_patched(problem, spec, PatchSpec(n=n),
+                          output_dir=args.out, print_log=True)
+        print(json.dumps({
+            "problem": args.problem, "patches": list(n),
+            "rel_l2": res.rel_l2,
+        }))
+        return
     res = train.run_training(problem, spec, output_dir=args.out,
                              print_log=True, resume=args.resume)
     print(json.dumps({
@@ -234,6 +245,10 @@ def main(argv=None):
     t.add_argument("--recipe", action="store_true",
                    help="use the preset's best-known gate-meeting config "
                         "(tpinn.problems.get_recipe); sizing flags ignored")
+    t.add_argument("--patches", default=None,
+                   help="overlapping-patch decomposition (FBPINN-style): "
+                        "patches per axis, e.g. '8' (1-D) or '4x4' (2-D); "
+                        "the --depth/--width net is PER PATCH")
     t.add_argument("--ensemble", type=int, default=1,
                    help="train K seed-varied members and serve their "
                         "residual-min-norm convex combination "
