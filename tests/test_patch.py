@@ -149,3 +149,27 @@ def test_patched_rejects_hard_bc():
                                        lbfgs_epochs=0),))
     with pytest.raises(ValueError, match="hard_bc"):
         run_patched(prob, spec, PatchSpec(n=(2,)))
+
+
+def test_patched_checkpoint_serves(tmp_path):
+    """serve rebuilds the partition-of-unity predictor from the 'patch'
+    meta and answers /predict-equivalent queries with the trained values."""
+    prob = _hf_poisson(2 * PI)
+    spec = TrainSpec(
+        n_col=256, n_band=0, n_adaptive=0, n_bd=16, testing_size=(128,),
+        lw=(1e-3, 0.0), grid=64,
+        stages=(StageSpec(depth=2, width=12, scl=1.0, epsil=1.0,
+                          adam_epochs=400, lbfgs_epochs=150),),
+        log_every=400, density_every=10**9, plateau_every=10**9,
+    )
+    r = run_patched(prob, spec, PatchSpec(n=(4,), overlap=0.5),
+                    output_dir=str(tmp_path))
+
+    from tpinn.app.serve import PINNServer
+
+    srv = PINNServer(str(tmp_path / "params_stage_1.npz"),
+                     problem_name="poisson_1d")  # preset = metadata only
+    z = np.linspace(0.1, 0.9, 9)[:, None]
+    u_served = np.asarray(srv.predict(z.tolist()))
+    u_train = np.asarray(r.predict(jnp.asarray(z, jnp.float32)))[:, 0]
+    np.testing.assert_allclose(u_served, u_train, rtol=1e-5, atol=1e-6)

@@ -141,7 +141,22 @@ class PINNServer:
             pad_to=meta.get("pad_features", 0))
         lb = jnp.asarray(meta.get("lb", problem.lb))
         ub = jnp.asarray(meta.get("ub", problem.ub))
-        if "chain" in meta:
+        if meta.get("patch"):
+            # overlapping-patch checkpoint (core/patch.py): rebuild the
+            # partition-of-unity predictor; params carry a leading P axis
+            from tpinn.core.patch import (PatchSpec, init_patch_params,
+                                          make_patch_predictor)
+
+            pspec = PatchSpec(n=tuple(meta["patch"]["n"]),
+                              overlap=float(meta["patch"]["overlap"]))
+            mspec = net.spec_from_dict(meta["chain"][0])
+            predictor = make_patch_predictor(
+                mspec, pspec, np.asarray(lb), np.asarray(ub),
+                pad_features=meta.get("pad_features", 0))
+            template = init_patch_params(
+                jax.random.PRNGKey(0), mspec, pspec,
+                pad_features=meta.get("pad_features", 0))
+        elif "chain" in meta:
             # rebuild the full multilevel chain exactly as trained — every
             # stage's act_first/scl/epsil comes from the saved spec, and the
             # composed params are the checkpoint's nested {"stage","prev"}
