@@ -203,6 +203,24 @@ def run_patched(
                                spec.pad_features)
     log(f"patched: {patch.count} patches ({'x'.join(map(str, patch.n))}), "
         f"{st.depth}x{st.width} net each, overlap {patch.overlap:g}")
+    if mesh is not None and mesh.shape.get("ensemble", 1) > 1:
+        # PATCH-PARALLELISM: the stacked pytree's leading P axis shards
+        # over the mesh's 'ensemble' axis (each chip group holds its own
+        # patches); the window-weighted sum over P becomes one psum —
+        # XLA inserts it from the sharding constraint.  Composes with
+        # points-DP on the other axis.
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        n_ens = mesh.shape["ensemble"]
+        if patch.count % n_ens != 0:
+            raise ValueError(
+                f"{patch.count} patches not divisible by the mesh's "
+                f"ensemble axis ({n_ens})")
+        sh = NamedSharding(mesh, P("ensemble"))
+        params = jax.tree.map(lambda a: jax.device_put(a, sh), params)
+        log(f"patched: {patch.count} patches sharded over "
+            f"{n_ens} ensemble-axis groups")
 
     if mesh is None:
         _rc = lambda n: n
