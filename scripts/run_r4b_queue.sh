@@ -88,6 +88,16 @@ if [ ! -f out/tg_tpu/system.json ]; then
   echo "=== tg1 end rc=$? $(date +%T) ==="
 fi
 
+# ---- overlapping-patch helmholtz on TPU (FBPINN tier) ----
+if [ ! -f out/hp_tpu/patched.json ]; then
+  echo "=== hP1 start $(date +%T) ==="
+  timeout 7200 python -m tpinn train --problem helmholtz_2d \
+    --patches 6x6 --depth 3 --width 24 --adam 40000 --lbfgs 9000 \
+    --n-col 20000 --n-band 2000 --n-adaptive 6000 --n-bd 2000 \
+    --weight-f 1e-4 --out out/hp_tpu > out/logs/hP1.log 2>&1
+  echo "=== hP1 end rc=$? $(date +%T) ==="
+fi
+
 # ---- inverse mode on TPU (capability evidence, not a gate) ----
 if [ ! -f out/inverse_tpu/inverse.json ]; then
   echo "=== iV1 start $(date +%T) ==="
