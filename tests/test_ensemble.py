@@ -90,6 +90,31 @@ def test_serving_loads_ensemble_record(trained):
     np.testing.assert_allclose(np.asarray(u), want, rtol=0, atol=1e-5)
     f = srv.residual(pts)
     assert np.all(np.isfinite(f))
+    # epistemic UQ: member spread is positive and small relative to u
+    std = np.asarray(srv.uncertainty(pts))
+    assert std.shape == (2,) and np.all(std >= 0)
+    assert np.all(std < 0.2 * (np.abs(want) + 1e-3))
+
+
+def test_uncertainty_requires_ensemble(tmp_path):
+    import dataclasses
+
+    from tpinn import problems
+    from tpinn.app.serve import PINNServer
+    from tpinn.core import train
+
+    spec = train.TrainSpec(
+        n_col=128, n_band=0, n_adaptive=0, n_bd=8, testing_size=(64,),
+        lw=(1.0, 0.0), grid=32,
+        stages=(train.StageSpec(depth=2, width=8, adam_epochs=30,
+                                lbfgs_epochs=0),),
+        log_every=30,
+    )
+    train.run_training(problems.poisson_1d(), spec,
+                       output_dir=str(tmp_path))
+    srv = PINNServer(str(tmp_path / "params_stage_1.npz"), "poisson_1d")
+    with pytest.raises(ValueError, match="ensemble"):
+        srv.uncertainty([[0.5]])
 
 
 def test_ensemble_seed_mismatch_raises():

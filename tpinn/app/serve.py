@@ -12,6 +12,7 @@ Run:  python -m tpinn.app.serve --checkpoint out/params_stage_1.npz \
 API:
     POST /predict   {"points": [[r, t], ...]}      -> {"u": [...]}
     POST /residual  {"points": [[r, t], ...]}      -> {"f": [...]}
+    POST /uncertainty {"points": ...}  -> {"std": [...]}   (ensembles)
     GET  /health                                   -> {"ok": true, ...}
 
 Queries are padded to fixed batch tiers (powers of two) so the jitted
@@ -77,9 +78,20 @@ class PINNServer:
                 _term = deflation_term(ens["deflation"])
                 _raw = predictor
                 predictor = lambda p, z: _raw(p, z) - _term(z)
+            def spread(params_list, z, _w=tuple(wts), _p=tuple(preds)):
+                # weighted std across members — the epistemic band the
+                # ensemble actually disagrees by (Σw = 1 convex weights)
+                vals = [fi(pi, z) for fi, pi in zip(_p, params_list)]
+                stack = jnp.stack(vals)
+                w = jnp.asarray(_w)[:, None, None]
+                mean = jnp.sum(w * stack, axis=0)
+                var = jnp.sum(w * (stack - mean) ** 2, axis=0)
+                return jnp.sqrt(var)
+
             self.params = [s.params for s in subs]
             self.predictor = predictor
             self._predict = jax.jit(self.predictor)
+            self._spread = jax.jit(spread)
             self._residual = jax.jit(
                 lambda p, z: self.compiled.residual_fast(
                     self.predictor, p, z))
@@ -271,6 +283,14 @@ class PINNServer:
     def residual(self, points):
         return self._eval(self._residual, points)
 
+    def uncertainty(self, points):
+        """Per-point epistemic spread (weighted member std) — ensemble
+        checkpoints only."""
+        if getattr(self, "_spread", None) is None:
+            raise ValueError("uncertainty needs an ensemble checkpoint "
+                             "(serve an ensemble.json directory)")
+        return self._eval(self._spread, points)
+
 
 def make_handler(server: PINNServer):
     class Handler(BaseHTTPRequestHandler):
@@ -307,6 +327,8 @@ def make_handler(server: PINNServer):
                     self._json({"u": server.predict(points)})
                 elif self.path == "/residual":
                     self._json({"f": server.residual(points)})
+                elif self.path == "/uncertainty":
+                    self._json({"std": server.uncertainty(points)})
                 else:
                     self._json({"error": "not found"}, 404)
             except Exception as e:
