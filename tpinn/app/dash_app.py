@@ -74,15 +74,9 @@ GATED_IDS = ["input-equation"] + [f"input-{k}" for k in FIELD_KEYS] + [
 
 
 def _oracle_names() -> list:
-    """Presets usable as observation oracles (2-D, analytic solution) —
-    derived from the registry so new presets appear without UI edits."""
-    from tpinn import problems
+    from tpinn.app.presets import oracle_names
 
-    return sorted(
-        n for n in problems.PRESETS
-        if problems.get_problem(n).exact is not None
-        and problems.get_problem(n).dim <= 2
-    )
+    return oracle_names()
 
 
 def _declared_params(inverse_params) -> tuple:

@@ -393,14 +393,10 @@ render();
 
 def _render_page() -> str:
     """PAGE with the oracle <option> list derived from the preset registry
-    (only presets carrying an analytic solution can label observations)."""
-    from tpinn import problems
+    (tpinn.app.presets.oracle_names — shared with the dash frontend)."""
+    from tpinn.app.presets import oracle_names
 
-    opts = "".join(
-        f"<option>{n}</option>" for n in sorted(problems.PRESETS)
-        if problems.get_problem(n).exact is not None
-        and problems.get_problem(n).dim <= 2
-    )
+    opts = "".join(f"<option>{n}</option>" for n in oracle_names())
     return PAGE.replace("%ORACLE_OPTIONS%", opts)
 
 

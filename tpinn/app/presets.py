@@ -89,3 +89,15 @@ def preset_names() -> List[str]:
     return sorted(
         n for n in problems.PRESETS if _ui_expressible(problems.get_problem(n))
     )
+
+
+def oracle_names() -> List[str]:
+    """Presets usable as UI inverse-mode observation oracles: exactly 2-D
+    (the UI problem is always 2-D; run_pinn_training rejects a dimension
+    mismatch) with an analytic solution to label observations.  The ONE
+    source both frontends render from."""
+    return sorted(
+        n for n in problems.PRESETS
+        if problems.get_problem(n).exact is not None
+        and problems.get_problem(n).dim == 2
+    )

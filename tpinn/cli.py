@@ -51,6 +51,12 @@ def cmd_train(args):
     from tpinn.core import train
     from tpinn.core.train import StageSpec, TrainSpec
 
+    if args.recipe and args.patches:
+        raise SystemExit("--recipe and --patches are exclusive: recipes "
+                         "are single-net configs (drop one)")
+    if args.patches and args.resume:
+        raise SystemExit("--patches does not support --resume yet "
+                         "(run_patched has no mid-run checkpointing)")
     if args.recipe:
         # best-known gate-meeting config (tpinn/problems/recipes.py);
         # the explicit sizing flags are ignored in this mode
@@ -91,6 +97,7 @@ def cmd_train(args):
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.weight_f, args.weight_df),
         stages=tuple(stages), seed=args.seed,
+        pad_features=args.pad_features,
         lbfgs_dtype="float64" if args.f64_polish else None,
     )
     if args.ensemble > 1:
@@ -245,6 +252,10 @@ def main(argv=None):
     t.add_argument("--recipe", action="store_true",
                    help="use the preset's best-known gate-meeting config "
                         "(tpinn.problems.get_recipe); sizing flags ignored")
+    t.add_argument("--pad-features", type=int, default=3,
+                   help="FeatureMap.pad_to minimum input width (3 = the "
+                        "tunneled-TPU SIGILL workaround, model class "
+                        "unchanged; 0 disables)")
     t.add_argument("--patches", default=None,
                    help="overlapping-patch decomposition (FBPINN-style): "
                         "patches per axis, e.g. '8' (1-D) or '4x4' (2-D); "

@@ -210,11 +210,9 @@ def run_inverse(
         pde.compile_coord_expr(problem.source, problem.coords)
         if problem.source else None
     )
-    rw_fn = None
-    if problem.residual_weight is not None:
-        rw_fn = (problem.residual_weight if callable(problem.residual_weight)
-                 else pde.compile_coord_expr(problem.residual_weight,
-                                             problem.coords))
+    from tpinn.core.train import resolve_residual_weight
+
+    rw_fn = resolve_residual_weight(problem)
     feature_map = net.feature_map_for(problem.feature_kinds,
                                       pad_to=spec.pad_features)
     lb = jnp.asarray(problem.lb, dtype)
@@ -293,7 +291,12 @@ def run_inverse(
         if source_fn is not None:
             f0 = f0 - source_fn(z_grid)
         f_sq = f0 ** 2
-        return smooth(reshape_g(f_sq / jnp.mean(f_sq) + 0.5))
+        f_nm = f_sq / jnp.mean(f_sq) + 0.5
+        if problem.eval_mask is not None:
+            # masked non-box domain: adaptive points must not chase the
+            # unconstrained dead-region residual (train.make_density_fn)
+            f_nm = f_nm * problem.eval_mask(z_grid)
+        return smooth(reshape_g(f_nm))
 
     bc_ops = tuple(
         pde.compile_pde(g.operator, problem.coords, inv.params)
@@ -370,20 +373,19 @@ def run_inverse(
     net_final = params["net"]
     predict = lambda z: predictor(net_final, z)
 
-    from tpinn.core.train import eval_grid
+    from tpinn.core.train import eval_grid, resolve_testing_size
 
-    # a testing_size whose rank mismatches the problem (TrainSpec defaults
-    # to 2-D) falls back to a per-axis grid — same guard as run_system
-    tsize = spec.testing_size
-    if len(tsize) != problem.dim:
-        per_axis = {1: 256, 2: 64, 3: 24}.get(problem.dim, 12)
-        tsize = (per_axis,) * problem.dim
-        log(f"inverse: testing_size {spec.testing_size} is not "
-            f"{problem.dim}-D; evaluating on {tsize}")
+    tsize = resolve_testing_size(problem, spec.testing_size, log,
+                                 label="inverse: ")
     X_star, axes, _ = eval_grid(problem, tsize, dtype)
     u_star = predict(X_star)
     exact_star = (jnp.asarray(problem.exact(X_star), dtype)
                   if problem.exact is not None else None)
+    if problem.eval_mask is not None:
+        m_star = jnp.asarray(problem.eval_mask(X_star), dtype)
+        u_star = u_star * m_star
+        if exact_star is not None:
+            exact_star = exact_star * m_star
     rel_l2 = None
     if exact_star is not None:
         if inv.normalize > 0.0:

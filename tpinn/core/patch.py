@@ -179,15 +179,21 @@ def run_patched(
     if problem.hard_bc is not None:
         raise ValueError("run_patched poses BCs softly; hard_bc is the "
                          "single-net path (net.wrap_hard_bc)")
+    dropped = [k for k in ("lsq_polish", "deflation")
+               if getattr(spec, k, "off") != "off"]
+    if spec.ring_weight > 0:
+        dropped.append("ring_weight")
+    if len(spec.stages) > 1:
+        dropped.append(f"stages[1:{len(spec.stages)}]")
+    if dropped:
+        log("patched: option(s) " + ", ".join(dropped)
+            + " have no patched-path implementation and are ignored")
     compiled = pde.compile_pde(problem.equation, problem.coords)
     source_fn = (pde.compile_coord_expr(problem.source, problem.coords)
                  if problem.source else None)
-    rw_fn = None
-    if problem.residual_weight is not None:
-        rw_fn = (problem.residual_weight
-                 if callable(problem.residual_weight)
-                 else pde.compile_coord_expr(problem.residual_weight,
-                                             problem.coords))
+    from tpinn.core.train import resolve_residual_weight
+
+    rw_fn = resolve_residual_weight(problem)
 
     mspec = net.MLPSpec(
         depth=st.depth, width=st.width,
@@ -297,10 +303,10 @@ def run_patched(
     predict = lambda z: predictor(params, z)
     rel_l2 = None
     if problem.exact is not None:
-        tsize = spec.testing_size
-        if len(tsize) != problem.dim:
-            per_axis = {1: 256, 2: 64, 3: 24}.get(problem.dim, 12)
-            tsize = (per_axis,) * problem.dim
+        from tpinn.core.train import resolve_testing_size
+
+        tsize = resolve_testing_size(problem, spec.testing_size, log,
+                                     label="patched: ")
         X_star, _, _ = eval_grid(problem, tsize, dtype)
         u = predict(X_star)
         e = jnp.asarray(problem.exact(X_star), dtype)

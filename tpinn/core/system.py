@@ -337,16 +337,11 @@ def run_system(
 
     rel_l2 = rel_fields = None
     if problem.exact is not None:
-        # SystemSpec reuses train.eval_grid via a duck-typed shim; a
-        # testing_size whose length does not match the problem dimension
-        # (TrainSpec defaults to 2-D) falls back to a per-axis grid sized
-        # to keep the total point count moderate in any d
-        tsize = spec.testing_size
-        if len(tsize) != problem.dim:
-            per_axis = {1: 256, 2: 64, 3: 24}.get(problem.dim, 12)
-            tsize = (per_axis,) * problem.dim
-            log(f"system: testing_size {spec.testing_size} is not "
-                f"{problem.dim}-D; evaluating on {tsize}")
+        # SystemSpec reuses train.eval_grid via a duck-typed shim
+        from tpinn.core.train import resolve_testing_size
+
+        tsize = resolve_testing_size(problem, spec.testing_size, log,
+                                     label="system: ")
         X_star, _, _ = eval_grid(problem, tsize, dtype)
         u = predict(X_star)
         u_true = jnp.asarray(problem.exact(X_star), dtype)

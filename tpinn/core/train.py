@@ -353,6 +353,30 @@ def eval_grid(problem: ProblemSpec, testing_size: Sequence[int], dtype):
     return X_star, axes, tuple(grids)
 
 
+def resolve_testing_size(problem, testing_size, log=None, label=""):
+    """``testing_size`` if its rank matches the problem, else a per-axis
+    fallback grid (TrainSpec defaults to 2-D; shared by the system /
+    inverse / patched runners)."""
+    if len(testing_size) == problem.dim:
+        return tuple(int(v) for v in testing_size)
+    per_axis = {1: 256, 2: 64, 3: 24}.get(problem.dim, 12)
+    tsize = (per_axis,) * problem.dim
+    if log is not None:
+        log(f"{label}testing_size {tuple(testing_size)} is not "
+            f"{problem.dim}-D; evaluating on {tsize}")
+    return tsize
+
+
+def resolve_residual_weight(problem):
+    """``w(z)`` from ProblemSpec.residual_weight: a callable passes
+    through, a string compiles as a coordinate expression."""
+    if problem.residual_weight is None:
+        return None
+    if callable(problem.residual_weight):
+        return problem.residual_weight
+    return pde.compile_coord_expr(problem.residual_weight, problem.coords)
+
+
 def eval_stage_f64(predictor, params, X_star, compiled, source_fn, exact):
     """Evaluate u, residual (and the analytic oracle) in float64 on host CPU.
 
@@ -404,9 +428,9 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None,
             if source_fn is not None:
                 f0 = f0 - source_fn(x_nodes)
             f_sq = f0**2
-            if mask_fn is not None:
-                f_sq = f_sq * mask_fn(x_nodes)
             f_nm = f_sq / jnp.mean(f_sq) + 0.5
+            if mask_fn is not None:
+                f_nm = f_nm * mask_fn(x_nodes)
             return sample.gaussian_smooth_1d(f_nm, 1.0, 5)
 
         return density1
@@ -420,9 +444,9 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None,
             if source_fn is not None:
                 f0 = f0 - source_fn(z_star)
             f_sq = f0**2
-            if mask_fn is not None:
-                f_sq = f_sq * mask_fn(z_star)
             f_nm = f_sq / jnp.mean(f_sq) + 0.5
+            if mask_fn is not None:
+                f_nm = f_nm * mask_fn(z_star)
             F = jnp.reshape(f_nm, R.shape)
             return sample.gaussian_smooth_2d(F, (1.0, 1.0), (5, 5))
 
@@ -437,9 +461,9 @@ def make_density_fn(predictor, compiled: pde.CompiledPDE, grids, source_fn=None,
         if source_fn is not None:
             f0 = f0 - source_fn(z_nd)
         f_sq = f0**2
-        if mask_fn is not None:
-            f_sq = f_sq * mask_fn(z_nd)
         f_nm = f_sq / jnp.mean(f_sq) + 0.5
+        if mask_fn is not None:
+            f_nm = f_nm * mask_fn(z_nd)
         return sample.gaussian_smooth_nd(jnp.reshape(f_nm, shape_nd))
 
     return density_nd
@@ -511,11 +535,13 @@ def run_training(
         hard_fns = tuple(
             pde.compile_coord_expr(e, problem.coords) for e in problem.hard_bc
         )
-    rw_fn = None
-    if problem.residual_weight is not None:
-        rw_fn = (problem.residual_weight if callable(problem.residual_weight)
-                 else pde.compile_coord_expr(problem.residual_weight,
-                                             problem.coords))
+    rw_fn = resolve_residual_weight(problem)
+    if spec.lsq_polish == "on" and problem.eval_mask is not None:
+        # fail BEFORE spending the training budget: the polish would be
+        # rejected at its call site anyway (bounding-box quadrature over
+        # the dead region)
+        raise ValueError("lsq_polish='on' is not supported on masked "
+                         "(eval_mask) domains")
     feature_map = net.feature_map_for(problem.feature_kinds,
                                       pad_to=spec.pad_features)
     lb = jnp.asarray(problem.lb, dtype)
