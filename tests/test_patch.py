@@ -230,3 +230,34 @@ def test_patch_parallel_over_ensemble_axis():
     r = run_patched(prob, spec, pspec, mesh=mesh, log_fn=lines.append)
     assert any("sharded over 2 ensemble-axis groups" in ln for ln in lines)
     assert r.rel_l2 is not None and np.isfinite(r.rel_l2)
+
+
+def test_patched_resume(tmp_path):
+    """resume=True short-circuits a finished run (params reloaded, no
+    retraining) and picks a killed run back up from the mid-Adam
+    checkpoint — the same contract train.run_training honours."""
+    prob = _hf_poisson(2 * PI)
+    spec = TrainSpec(
+        n_col=128, n_band=0, n_adaptive=0, n_bd=8, testing_size=(64,),
+        lw=(1e-3, 0.0), grid=32, checkpoint_every=20,
+        stages=(StageSpec(depth=2, width=8, scl=1.0, epsil=1.0,
+                          adam_epochs=50, lbfgs_epochs=0),),
+        log_every=50, density_every=10**9, plateau_every=10**9,
+    )
+    pspec = PatchSpec(n=(2,), overlap=0.5)
+    r1 = run_patched(prob, spec, pspec, output_dir=str(tmp_path))
+    assert (tmp_path / "adam_state_stage_1.npz").exists()
+
+    # Finished run: resume skips training and reproduces the metric.
+    r2 = run_patched(prob, spec, pspec, output_dir=str(tmp_path),
+                     resume=True)
+    assert r2.history.shape[0] == 0  # nothing retrained
+    assert r2.rel_l2 == pytest.approx(r1.rel_l2, rel=1e-6)
+
+    # Killed run: final params gone, mid-Adam state present — resume
+    # restarts from the last saved chunk instead of step 0.
+    (tmp_path / "params_stage_1.npz").unlink()
+    r3 = run_patched(prob, spec, pspec, output_dir=str(tmp_path),
+                     resume=True)
+    assert np.isfinite(r3.rel_l2)
+    assert (tmp_path / "params_stage_1.npz").exists()

@@ -54,13 +54,15 @@ def cmd_train(args):
     if args.recipe and args.patches:
         raise SystemExit("--recipe and --patches are exclusive: recipes "
                          "are single-net configs (drop one)")
-    if args.patches and args.resume:
-        raise SystemExit("--patches does not support --resume yet "
-                         "(run_patched has no mid-run checkpointing)")
     if args.recipe:
         # best-known gate-meeting config (tpinn/problems/recipes.py);
         # the explicit sizing flags are ignored in this mode
         problem, spec = problems.get_recipe(args.problem)
+        if args.checkpoint_every > 0:
+            import dataclasses
+
+            spec = dataclasses.replace(
+                spec, checkpoint_every=args.checkpoint_every)
         if args.ensemble > 1:
             from tpinn.core.ensemble import run_ensemble_training
 
@@ -99,6 +101,7 @@ def cmd_train(args):
         stages=tuple(stages), seed=args.seed,
         pad_features=args.pad_features,
         lbfgs_dtype="float64" if args.f64_polish else None,
+        checkpoint_every=args.checkpoint_every,
     )
     if args.ensemble > 1:
         from tpinn.core.ensemble import run_ensemble_training
@@ -118,7 +121,8 @@ def cmd_train(args):
 
         n = tuple(int(v) for v in args.patches.lower().split("x"))
         res = run_patched(problem, spec, PatchSpec(n=n),
-                          output_dir=args.out, print_log=True)
+                          output_dir=args.out, print_log=True,
+                          resume=args.resume)
         print(json.dumps({
             "problem": args.problem, "patches": list(n),
             "rel_l2": res.rel_l2,
@@ -247,6 +251,11 @@ def main(argv=None):
     t.add_argument("--seed", type=int, default=1234)
     t.add_argument("--out", default=None)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save resumable mid-Adam state every N steps "
+                        "(TrainSpec.checkpoint_every); 0 = final params "
+                        "only. With --resume, a killed run restarts at "
+                        "the last saved chunk")
     t.add_argument("--f64-polish", action="store_true")
     t.add_argument("--platform", default=None)
     t.add_argument("--recipe", action="store_true",

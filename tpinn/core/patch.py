@@ -32,7 +32,7 @@ vmap), so residuals of any compiled PDE work unchanged.
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -156,6 +156,7 @@ def run_patched(
     print_log: bool = False,
     mesh=None,
     output_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> PatchResult:
     """Train the patched predictor: single-stage Adam → L-BFGS on the
     joint stacked pytree (``spec.stages[0]`` sets the PER-PATCH net).
@@ -164,6 +165,12 @@ def run_patched(
     stacked patch params stay replicated (sharding them over the
     'ensemble' axis is the pod layout — patch nets are independent until
     the window sum, one psum per step).
+
+    ``resume=True`` with ``output_dir``: a finished run's
+    params_stage_1.npz short-circuits training entirely; with
+    ``spec.checkpoint_every > 0`` a killed run additionally resumes the
+    Adam phase from adam_state_stage_1.npz at the last saved chunk
+    (same contract as run_training).
     """
     if not spec.stages:
         spec = spec.with_default_stages()
@@ -283,13 +290,57 @@ def run_patched(
     phase = optim.make_adam_phase(
         loss_fn, sample_fn, density_fn, adam_cfg, info_width, adam_log
     )
-    res = phase(k_adam, params, data0, F0, lw, ref)
-    int(res.n_valid)  # host sync
-    params = res.params
-    hist_adam = np.asarray(res.history[: int(res.n_valid)])
 
-    hist_lbfgs = np.zeros((0, info_width), np.float64)
-    if st.lbfgs_epochs > 0:
+    from pathlib import Path
+
+    out = Path(output_dir) if output_dir is not None else None
+    final_ckpt = out / "params_stage_1.npz" if out else None
+    adam_ckpt = out / "adam_state_stage_1.npz" if out else None
+
+    if resume and final_ckpt is not None and final_ckpt.exists():
+        from tpinn.utils.checkpoint import load_pytree
+
+        params, _ = load_pytree(final_ckpt, params)
+        log("patched: resumed finished run from params_stage_1.npz "
+            "(training skipped)")
+        hist_adam = np.zeros((0, info_width), np.float64)
+        hist_lbfgs = np.zeros((0, info_width), np.float64)
+        st = replace(st, lbfgs_epochs=0)  # skip both phases below
+        res = None
+    else:
+        init_phase = None
+        if resume and adam_ckpt is not None and adam_ckpt.exists():
+            from tpinn.utils.checkpoint import load_phase_state
+
+            try:
+                like = phase.make_state0(k_adam, params, data0, F0, ref)
+                init_phase = load_phase_state(adam_ckpt, like)
+                log(f"patched: resuming Adam mid-run at step "
+                    f"{init_phase[0]}/{st.adam_epochs}")
+            except Exception as e:
+                log(f"patched: mid-run checkpoint unusable ({e}); "
+                    "restarting the Adam phase")
+        ckpt_cb = None
+        if adam_ckpt is not None and spec.checkpoint_every > 0:
+            from tpinn.utils.checkpoint import save_phase_state
+
+            _last = [init_phase[0] if init_phase else 0]
+
+            def ckpt_cb(done, state, hist):  # noqa: F811
+                if (done - _last[0] >= spec.checkpoint_every
+                        or done >= st.adam_epochs):
+                    save_phase_state(adam_ckpt, done, state, hist)
+                    _last[0] = done
+
+        res = phase(k_adam, params, data0, F0, lw, ref,
+                    ckpt_cb=ckpt_cb, init=init_phase)
+        int(res.n_valid)  # host sync
+        params = res.params
+        hist_adam = np.asarray(res.history[: int(res.n_valid)])
+
+    if res is not None:
+        hist_lbfgs = np.zeros((0, info_width), np.float64)
+    if res is not None and st.lbfgs_epochs > 0:
         lb_cfg = optim.LBFGSConfig(
             max_iters=max(1, st.lbfgs_epochs // 3),
             history=spec.lbfgs_history,
@@ -319,13 +370,11 @@ def run_patched(
     history = (np.concatenate([hist_adam, hist_lbfgs], axis=0)
                if hist_lbfgs.size else hist_adam)
 
-    if output_dir is not None:
+    if out is not None:
         import json
-        from pathlib import Path
 
         from tpinn.utils.checkpoint import save_pytree
 
-        out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         save_pytree(
             out / "params_stage_1.npz", params,
