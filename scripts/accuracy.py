@@ -137,6 +137,13 @@ def main():
                    help="resonance-band training penalty weight "
                         "(TrainSpec.ring_weight; inert when the operator "
                         "has no band modes)")
+    p.add_argument("--causal-eps", type=float, default=0.0,
+                   help="causal residual weighting strength for evolution "
+                        "problems (TrainSpec.causal_eps; 0 = off)")
+    p.add_argument("--causal-bins", type=int, default=32,
+                   help="number of causal time slabs (TrainSpec.causal_bins)")
+    p.add_argument("--causal-axis", default="t",
+                   help="evolution coordinate name (TrainSpec.causal_axis)")
     p.add_argument("--deflation", default="off",
                    choices=("off", "auto", "full"),
                    help="spectral error correction after the final stage "
@@ -217,6 +224,8 @@ def main():
         deriv_loss=args.deriv_loss, cpu_fallback=args.cpu_fallback,
         lsq_polish=args.lsq_polish, engine=args.engine,
         deflation=args.deflation, ring_weight=args.ring_weight,
+        causal_eps=args.causal_eps, causal_bins=args.causal_bins,
+        causal_axis=args.causal_axis,
         lbfgs_dtype=args.lbfgs_dtype, lbfgs_device=args.lbfgs_device,
         lbfgs_history=args.lbfgs_history,
         adam_precision=args.adam_precision,

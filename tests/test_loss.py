@@ -112,3 +112,49 @@ def test_residual_weight():
     expect = jnp.mean((w_fn(z) * f) ** 2)
     np.testing.assert_allclose(float(info_w[2]), float(expect), rtol=1e-5)
     assert float(info_w[2]) != pytest.approx(float(info_p[2]))
+
+
+def test_causal_eps_zero_is_exactly_plain():
+    """causal={eps: 0} must reproduce the plain loss AND gradient bit-for-
+    bit in structure (per-point weights of 1.0) — the docstring's claim."""
+    predictor, compiled, params, data = _setup()
+    lw = jnp.array([0.7, 0.0])
+    ref = jnp.array(1.0)
+    plain = loss_mod.make_loss(predictor, compiled)
+    caus = loss_mod.make_loss(
+        predictor, compiled,
+        causal={"axis": 1, "t0": 0.0, "t1": 1.0, "bins": 8, "eps": 0.0})
+    a = jax.jit(plain)(params, data, lw, ref)
+    b = jax.jit(caus)(params, data, lw, ref)
+    np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+    ga = jax.grad(lambda p: plain(p, data, lw, ref)[0])(params)
+    gb = jax.grad(lambda p: caus(p, data, lw, ref)[0])(params)
+    for x, y in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-9)
+
+
+def test_causal_downweights_late_slabs_only():
+    """eps>0 shrinks the optimized loss_eqn (late slabs carry weight<1)
+    while the watched eqn_err column and the data term stay untouched."""
+    predictor, compiled, params, data = _setup()
+    lw = jnp.array([1.0, 0.0])
+    ref = jnp.array(1.0)
+    plain = loss_mod.make_loss(predictor, compiled)
+    caus = loss_mod.make_loss(
+        predictor, compiled,
+        causal={"axis": 1, "t0": 0.0, "t1": 1.0, "bins": 8, "eps": 50.0})
+    _, ia = jax.jit(plain)(params, data, lw, ref)
+    _, ib = jax.jit(caus)(params, data, lw, ref)
+    assert float(ib[2]) < float(ia[2])          # optimized term shrank
+    np.testing.assert_allclose(float(ib[-1]), float(ia[-1]), rtol=1e-6)
+    np.testing.assert_allclose(float(ib[1]), float(ia[1]), rtol=1e-6)
+    # internal consistency of the causal loss_info itself
+    np.testing.assert_allclose(float(ib[0]), float(ib[1] + 1.0 * ib[2]),
+                               rtol=1e-5)
+    # still gradable and jittable
+    g = jax.grad(lambda p: caus(p, data, lw, ref)[0])(params)
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(g))

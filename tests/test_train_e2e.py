@@ -406,3 +406,24 @@ def test_midstage_resume_across_adam_layout(tmp_path, monkeypatch):
                       jax.tree_util.tree_leaves(res_b.stages[0].params)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     assert res_b.rel_l2 == res_a.rel_l2
+
+
+def test_causal_weighting_trains_and_validates():
+    """TrainSpec.causal_eps: evolution run logs the slab setup and
+    converges; enabling it on a problem without the named evolution
+    coordinate is a config error, not a silent no-op."""
+    problem = problems.heat_2d()
+    spec = dataclasses.replace(
+        _quick_spec(adam=300, lbfgs=100), testing_size=(32, 32),
+        causal_eps=1.0, causal_bins=8, pad_features=3,
+    )
+    lines = []
+    res = train.run_training(problem, spec, log_fn=lines.append)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+    assert any("causal weighting on 't' (8 slabs" in l for l in lines), lines
+
+    with pytest.raises(ValueError, match="causal_eps"):
+        train.run_training(
+            problems.poisson_1d(),
+            dataclasses.replace(_quick_spec(adam=10, lbfgs=0),
+                                testing_size=(16,), causal_eps=1.0))

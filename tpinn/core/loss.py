@@ -44,6 +44,7 @@ def make_loss(
     residual_weight_fn: Callable[[Array], Array] | None = None,
     bc_operators=None,
     ring=None,
+    causal=None,
 ):
     """Build ``loss_fn(params, data, lw, ref) -> (loss_n, loss_info)``.
 
@@ -73,6 +74,23 @@ def make_loss(
         carries the quadrature weights and 1/ε amplification.  Folded
         into the total/``loss`` column only; the loss_info layout (the
         UI contract) is unchanged.
+    :param causal: optional causal residual weighting for time-dependent
+        problems (Wang, Sankaran & Perdikaris 2022, "Respecting causality
+        …"): ``{"axis": i, "t0": a, "t1": b, "bins": B, "eps": e}``.
+        Collocation points are binned into B time slabs along coordinate
+        ``axis``; slab i's residual is down-weighted by
+        ``w_i = exp(-eps * Σ_{j<i} L_j)`` (stop-gradient), so late-time
+        residuals only enter the loss once earlier slabs have converged —
+        the gradient can no longer satisfy the PDE "backwards in time",
+        the classic failure mode of stiff/advective evolution problems.
+        The optimized ``loss_eqn`` becomes the causally weighted term
+        (``loss = loss_data + lw[0]*loss_eqn`` still holds in loss_info);
+        the trailing ``eqn_err`` columns stay UNWEIGHTED so the residual
+        metric the user watches remains the true MSE.  At eps=0 the
+        weighted term equals the unweighted MSE exactly (per-point
+        weights, not per-slab means).  All shapes static — B is a Python
+        int, the binning is a clipped integer quantization, so the term
+        jits into the scanned Adam automaton unchanged.
     :param engine: "auto" (structure-aware fused Taylor-2 when available),
         "generic" (nested-jvp), "fused" (require the fused pure-JAX path),
         or "kernel" (Pallas forward+backward via custom_vjp,
@@ -172,10 +190,29 @@ def make_loss(
 
         eqn_err = jnp.concatenate(eqn_errs)
         loss_data = jnp.sum(data_err)
-        if deriv_loss:
-            loss_eqn = eqn_err[0] + lw[1] * eqn_err[1]
+        n_res_cols = eqn_errs[0].shape[0]
+        if causal is not None:
+            # per-slab mean residual → exclusive prefix → slab weights;
+            # applied per POINT so eps→0 recovers the plain MSE exactly
+            r2 = jnp.sum(jnp.square(f), axis=1)
+            nb = causal["bins"]
+            pos = ((x_col[:, causal["axis"]] - causal["t0"])
+                   / (causal["t1"] - causal["t0"]))
+            idx = jnp.clip((pos * nb).astype(jnp.int32), 0, nb - 1)
+            # one-hot matmul instead of segment_sum: the (N, B) contraction
+            # tiles onto the MXU; scatter-adds don't (and have misbehaved
+            # through the tunneled fusion pass before)
+            oh = jax.nn.one_hot(idx, nb, dtype=r2.dtype)
+            l_slab = (r2 @ oh) / jnp.maximum(jnp.sum(oh, axis=0), 1.0)
+            w_slab = jax.lax.stop_gradient(
+                jnp.exp(-causal["eps"] * (jnp.cumsum(l_slab) - l_slab)))
+            res_term = jnp.mean(w_slab[idx] * r2)
         else:
-            loss_eqn = jnp.sum(eqn_err)
+            res_term = jnp.sum(eqn_err[:n_res_cols])
+        if deriv_loss:
+            loss_eqn = res_term + lw[1] * eqn_err[n_res_cols]
+        else:
+            loss_eqn = res_term
         loss = loss_data + lw[0] * loss_eqn
         if ring is not None:
             f_ring = residual_at(params, ring["z"])

@@ -237,6 +237,19 @@ class TrainSpec:
     ring_weight: float = 0.0
     ring_band: float = 0.35
     ring_max_mode: int = 16
+    # Causal residual weighting for EVOLUTION problems (loss.make_loss
+    # ``causal=``; Wang/Sankaran/Perdikaris 2022): bin collocation points
+    # into causal_bins slabs along the causal_axis coordinate and weight
+    # slab i's residual by exp(-causal_eps·Σ_{j<i}L_j), so the optimizer
+    # must converge early times before late ones count — plain residual
+    # MSE lets stiff/advective problems "solve backwards in time" into a
+    # wrong attractor.  0.0 = off.  causal_axis is a coordinate NAME
+    # looked up in ProblemSpec.coords (explicit because e.g. the annulus
+    # preset's "t" is the polar angle, not time); enabling causal on a
+    # problem without that coordinate is a config error.
+    causal_eps: float = 0.0
+    causal_bins: int = 32
+    causal_axis: str = "t"
     # Derivative-engine selection for the loss residual (loss.make_loss):
     # "auto" | "generic" | "fused" | "kernel".  "generic" builds a
     # different XLA graph shape — also the workaround for tunneled-TPU
@@ -725,6 +738,22 @@ def run_training(
                 log(f"stage {stage_no}: ring penalty inert "
                     "(no resonance-band modes for this operator)")
 
+        causal_arg = None
+        if spec.causal_eps > 0:
+            if spec.causal_axis not in problem.coords:
+                raise ValueError(
+                    f"causal_eps>0 needs coordinate {spec.causal_axis!r} "
+                    f"in the problem's coords {problem.coords} — set "
+                    "TrainSpec.causal_axis to the evolution coordinate")
+            cax = problem.coords.index(spec.causal_axis)
+            causal_arg = {"axis": cax, "t0": float(problem.lb[cax]),
+                          "t1": float(problem.ub[cax]),
+                          "bins": int(spec.causal_bins),
+                          "eps": float(spec.causal_eps)}
+            log(f"stage {stage_no}: causal weighting on "
+                f"{spec.causal_axis!r} ({spec.causal_bins} slabs, "
+                f"eps {spec.causal_eps:g})")
+
         def build_loss(pred, engine):
             try:
                 return loss_mod.make_loss(pred, compiled_st, source_fn,
@@ -732,7 +761,8 @@ def run_training(
                                           engine=engine,
                                           residual_weight_fn=rw_fn,
                                           bc_operators=bc_ops,
-                                          ring=ring_arg)
+                                          ring=ring_arg,
+                                          causal=causal_arg)
             except ValueError as e:
                 if engine != "kernel":
                     raise
@@ -747,7 +777,8 @@ def run_training(
                                           engine="auto",
                                           residual_weight_fn=rw_fn,
                                           bc_operators=bc_ops,
-                                          ring=ring_arg)
+                                          ring=ring_arg,
+                                          causal=causal_arg)
 
         loss_fn = build_loss(predictor, spec.engine)
 
@@ -1452,6 +1483,10 @@ UI_OPTION_SPEC = {
     "lbfgs_rounds": int,
     "lbfgs_grid": int,
     "ring_weight": float,
+    # causal residual weighting (TrainSpec.causal_eps/_bins) — evolution
+    # presets only; the axis stays the default "t"
+    "causal_eps": float,
+    "causal_bins": int,
     # UI inverse mode (round 4, tpinn.core.inverse): declare unknown
     # equation coefficients "name=init[,name=init…]"; observations are
     # synthesized from the oracle preset's analytic solution
@@ -1670,6 +1705,8 @@ def run_pinn_training(
                    if getattr(spec, k, "off") != "off"]
         if spec.ring_weight > 0:
             dropped.append("ring_weight")
+        if spec.causal_eps > 0:
+            dropped.append("causal_eps")
         if dropped:
             msg = ("inverse mode: option(s) "
                    f"{', '.join(dropped)} have no inverse-path "
