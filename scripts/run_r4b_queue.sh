@@ -122,4 +122,20 @@ if [ -f out/acc/hE1.json ] && [ -f out/acc/hE2.json ] \
   echo "=== ensemble combine end rc=$? $(date +%T) ==="
 fi
 
+# ---- c=30 convection: the decisive budget the CPU arms couldn't afford ----
+# (cvD* at 24k CPU steps: plain 0.196, causal 0.265 — literature budget is
+#  ~10x larger.  Three arms: plain control, causal front, c-curriculum.)
+run cvT0 5400 --problem convection_1d --stages "4x64:tanh" \
+  --adam 120000 --lbfgs 8000 --n-col 8192 --n-adaptive 2048 --n-bd 512 \
+  --grid 101 --hard-bc --pad-features 3 --save-artifacts
+run cvT20 5400 --problem convection_1d --stages "4x64:tanh" \
+  --adam 120000 --lbfgs 8000 --n-col 8192 --n-adaptive 2048 --n-bd 512 \
+  --grid 101 --hard-bc --pad-features 3 --causal-eps 20 --causal-bins 32 \
+  --save-artifacts
+run cvTc 5400 --problem convection_1d \
+  --stages "4x64:tanh,4x64:tanh:warm,4x64:tanh:warm" \
+  --stage-eq "1:u_t + 10*u_x" --stage-eq "2:u_t + 20*u_x" \
+  --adam 40000 --lbfgs 8000 --n-col 8192 --n-adaptive 2048 --n-bd 512 \
+  --grid 101 --hard-bc --pad-features 3 --save-artifacts
+
 echo "R4B QUEUE DONE $(date +%T)"

@@ -208,7 +208,8 @@ def test_cartesian_equation_through_ui_schema(tmp_path):
 def test_preset_payloads():
     from tpinn.app.presets import preset_names, preset_payload
     names = preset_names()
-    assert "heat_2d" in names and len(names) == 6
+    assert "heat_2d" in names and "convection_1d" in names
+    assert len(names) == 7
     p = preset_payload("heat_2d")
     assert p["equation"] == "u_t - u_xx"
     assert p["bcs"][0]["u"] == "sin(pi*x)"      # expression-valued IC

@@ -79,10 +79,15 @@ def make_loss(
         …"): ``{"axis": i, "t0": a, "t1": b, "bins": B, "eps": e}``.
         Collocation points are binned into B time slabs along coordinate
         ``axis``; slab i's residual is down-weighted by
-        ``w_i = exp(-eps * Σ_{j<i} L_j)`` (stop-gradient), so late-time
-        residuals only enter the loss once earlier slabs have converged —
-        the gradient can no longer satisfy the PDE "backwards in time",
-        the classic failure mode of stiff/advective evolution problems.
+        ``w_i = exp(-eps · Σ_{j<i} L_j / Σ_j L_j)`` (stop-gradient) —
+        the exponent is slab i's SHARE of the current total, so eps is
+        dimensionless (eps ≈ log-suppression of the last slab while the
+        loss is spread out; 10-30 are sensible) and the weights form an
+        advancing front: slabs already converged contribute ~nothing to
+        the total, so the first unconverged slab always trains at w ≈ 1
+        while later ones wait.  The gradient can no longer satisfy the
+        PDE "backwards in time", the classic failure mode of stiff /
+        advective evolution problems.
         The optimized ``loss_eqn`` becomes the causally weighted term
         (``loss = loss_data + lw[0]*loss_eqn`` still holds in loss_info);
         the trailing ``eqn_err`` columns stay UNWEIGHTED so the residual
@@ -204,8 +209,25 @@ def make_loss(
             # through the tunneled fusion pass before)
             oh = jax.nn.one_hot(idx, nb, dtype=r2.dtype)
             l_slab = (r2 @ oh) / jnp.maximum(jnp.sum(oh, axis=0), 1.0)
+            # RELATIVE-SHARE exponent (measured design, out/acc_cpu
+            # cvA5/cvB5): the prefix sum is normalized by the CURRENT
+            # total over all slabs, so w_i = exp(-eps·share-of-loss
+            # -before-slab-i).  Scale-free by construction — the paper's
+            # raw exponent froze every slab past the first at c=30
+            # convection's init MSE ~4e2 and the unconstrained late-time
+            # net blew up (cvA5, rel-L2 19); normalizing by the INIT loss
+            # instead opened the weights as soon as the loss fell below
+            # init scale, which the COLLAPSED u≈0 state satisfies (cvB5,
+            # no gain).  Share-normalization gives an advancing front:
+            # converged slabs stop contributing to the total, so the
+            # first unconverged slab always sees w ≈ 1 while everything
+            # past it stays suppressed — and a collapse's transition band
+            # dominates the total, freezing the (spuriously low-residual)
+            # late slabs until the band is fixed.
+            tot = jnp.sum(l_slab)
             w_slab = jax.lax.stop_gradient(
-                jnp.exp(-causal["eps"] * (jnp.cumsum(l_slab) - l_slab)))
+                jnp.exp(-causal["eps"] * (jnp.cumsum(l_slab) - l_slab)
+                        / jnp.maximum(tot, 1e-30)))
             res_term = jnp.mean(w_slab[idx] * r2)
         else:
             res_term = jnp.sum(eqn_err[:n_res_cols])

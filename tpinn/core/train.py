@@ -240,10 +240,13 @@ class TrainSpec:
     # Causal residual weighting for EVOLUTION problems (loss.make_loss
     # ``causal=``; Wang/Sankaran/Perdikaris 2022): bin collocation points
     # into causal_bins slabs along the causal_axis coordinate and weight
-    # slab i's residual by exp(-causal_eps·Σ_{j<i}L_j), so the optimizer
-    # must converge early times before late ones count — plain residual
+    # slab i's residual by exp(-eps·Σ_{j<i}L_j/Σ_jL_j) — the exponent is
+    # the slab's SHARE of the current total residual, so the optimizer
+    # must converge early times before late ones count; plain residual
     # MSE lets stiff/advective problems "solve backwards in time" into a
-    # wrong attractor.  0.0 = off.  causal_axis is a coordinate NAME
+    # wrong attractor.  eps is DIMENSIONLESS (share-normalized; 10-30
+    # are sensible).  Adam phase only: L-BFGS/eval/polish see the plain
+    # residual.  0.0 = off.  causal_axis is a coordinate NAME
     # looked up in ProblemSpec.coords (explicit because e.g. the annulus
     # preset's "t" is the polar angle, not time); enabling causal on a
     # problem without that coordinate is a config error.
@@ -752,9 +755,9 @@ def run_training(
                           "eps": float(spec.causal_eps)}
             log(f"stage {stage_no}: causal weighting on "
                 f"{spec.causal_axis!r} ({spec.causal_bins} slabs, "
-                f"eps {spec.causal_eps:g})")
+                f"eps {spec.causal_eps:g}, Adam phase)")
 
-        def build_loss(pred, engine):
+        def build_loss(pred, engine, causal=None):
             try:
                 return loss_mod.make_loss(pred, compiled_st, source_fn,
                                           deriv_loss=spec.deriv_loss,
@@ -762,7 +765,7 @@ def run_training(
                                           residual_weight_fn=rw_fn,
                                           bc_operators=bc_ops,
                                           ring=ring_arg,
-                                          causal=causal_arg)
+                                          causal=causal)
             except ValueError as e:
                 if engine != "kernel":
                     raise
@@ -778,7 +781,7 @@ def run_training(
                                           residual_weight_fn=rw_fn,
                                           bc_operators=bc_ops,
                                           ring=ring_arg,
-                                          causal=causal_arg)
+                                          causal=causal)
 
         loss_fn = build_loss(predictor, spec.engine)
 
@@ -793,18 +796,26 @@ def run_training(
             as-is."""
             if engine != "kernel" or jax.default_backend() == "cpu":
                 return wrapped
-            lf = build_loss(pred, "auto")
+            lf = build_loss(pred, "auto",
+                            causal=causal_arg if wrapped is loss_fn_adam
+                            and loss_fn_adam is not loss_fn else None)
             if mesh is not None:
                 from tpinn import parallel
 
                 lf = parallel.make_parallel_loss(lf, mesh)
             return lf
 
-        # Adam-phase loss: reduced-precision chain and/or different engine
-        # (same params pytree); L-BFGS/eval/polish stay on loss_fn
+        # Adam-phase loss: reduced-precision chain, different engine,
+        # and/or causal weighting (causal is ADAM-ONLY: strong-Wolfe
+        # line search needs a self-consistent objective, and by the
+        # L-BFGS phase the causal front has swept the domain — the plain
+        # residual is then the right target); L-BFGS/eval/polish stay on
+        # loss_fn
         adam_engine = spec.adam_engine or spec.engine
-        if predictor_lo is not None or adam_engine != spec.engine:
-            loss_fn_adam = build_loss(predictor_lo or predictor, adam_engine)
+        if (predictor_lo is not None or adam_engine != spec.engine
+                or causal_arg is not None):
+            loss_fn_adam = build_loss(predictor_lo or predictor,
+                                      adam_engine, causal=causal_arg)
         else:
             loss_fn_adam = loss_fn
         if mesh is not None:

@@ -196,6 +196,40 @@ def poisson_3d() -> ProblemSpec:
     )
 
 
+def convection_1d(c: float = 30.0) -> ProblemSpec:
+    """Beyond the reference (no pure-advection config): convection
+    u_t + c·u_x = 0 at c = 30 — the canonical PINN failure mode
+    (Krishnapriyan et al. 2021; the motivating benchmark of the causal-
+    weighting literature).  The residual is near-minimized by flattening
+    u at later times, so plain MSE training stalls far from the
+    travelling wave.  Mitigations shipped here: TrainSpec.causal_eps
+    (advancing-front residual weighting — mechanism verified, slabs
+    converge strictly left→right) and per-stage equation curricula
+    (StageSpec.equation, ramping c upward with init_from="prev").
+    Measured CPU A/B at matched 24k-step budget (out/acc_cpu/cvD*):
+    neither arm reaches the wave yet — the literature budget for c=30
+    is ~10× larger; the decisive run rides the TPU queue.
+
+    Posed 2π-periodic in x via the periodic feature map (the network is
+    exactly periodic, so the IC u(x,0) = sin(x) is the only data term).
+    Exact u = sin(x − c·t)."""
+    two_pi = 2.0 * float(jnp.pi)
+    ic = pde.compile_coord_expr("sin(x)", coords=("x", "t"))
+    return ProblemSpec(
+        name="convection_1d",
+        equation=f"u_t + {c}*u_x",
+        coords=("x", "t"),
+        lb=(0.0, 0.0),
+        ub=(two_pi, 1.0),
+        feature_kinds=("periodic", "minmax"),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(two_pi, 0.0),
+                           value_fn=ic, value_expr="sin(x)"),   # IC
+        ),
+        exact=lambda z: jnp.sin(z[:, 0:1] - c * z[:, 1:2]),
+    )
+
+
 def lshape_laplace() -> ProblemSpec:
     """Beyond the reference (box domains only): Laplace on the L-shaped
     domain [−1,1]² ∖ (0,1]×[−1,0) — the classic re-entrant-corner
@@ -254,6 +288,7 @@ PRESETS = {
     "heat_2d": heat_2d,
     "helmholtz_2d": helmholtz_2d,
     "poisson_3d": poisson_3d,
+    "convection_1d": convection_1d,
     "lshape_laplace": lshape_laplace,
 }
 
@@ -290,6 +325,8 @@ HARD_BC = {
     "heat_2d": ("sin(pi*x)", "t*x*(1 - x)"),
     "helmholtz_2d": _helmholtz_hard(),
     "poisson_3d": ("0", "x*(1 - x)*y*(1 - y)*z*(1 - z)"),
+    # hard IC only — x is handled by the periodic feature map
+    "convection_1d": ("sin(x)", "t"),
 }
 
 
