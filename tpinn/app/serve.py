@@ -52,6 +52,39 @@ class PINNServer:
         cpath = _Path(checkpoint)
         if cpath.is_dir() and (cpath / "ensemble.json").exists():
             cpath = cpath / "ensemble.json"
+        if cpath.is_dir() and (cpath / "march.json").exists():
+            cpath = cpath / "march.json"
+        if cpath.name == "march.json":
+            # time-marching record (core.march.run_time_marching): serve
+            # the piecewise-in-time composite of the window checkpoints
+            if problem_name is None:
+                raise ValueError("march serving needs --problem")
+            problem = problems.get_problem(problem_name)
+            self.problem = problem
+            self.compiled = pde.compile_pde(problem.equation, problem.coords)
+            rec = json.loads(cpath.read_text())
+            base = cpath.parent
+            subs = [PINNServer(str(base / w), problem_name)
+                    for w in rec["windows"]]
+
+            from tpinn.core.march import make_march_predictor
+
+            ai = int(rec["axis_index"])
+            wpreds = tuple(s.predictor for s in subs)
+
+            def predictor(params_list, z, _p=wpreds,
+                          _mk=make_march_predictor, _e=tuple(rec["edges"])):
+                fns = [lambda zz, fi=fi, pi=pi: fi(pi, zz)
+                       for fi, pi in zip(_p, params_list)]
+                return _mk(fns, _e, ai)(z)
+
+            self.params = [s.params for s in subs]
+            self.predictor = predictor
+            self._predict = jax.jit(self.predictor)
+            self._residual = jax.jit(
+                lambda p, z: self.compiled.residual_fast(
+                    self.predictor, p, z))
+            return
         if cpath.name == "ensemble.json":
             if problem_name is None:
                 raise ValueError("ensemble serving needs --problem")

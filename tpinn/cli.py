@@ -54,6 +54,10 @@ def cmd_train(args):
     if args.recipe and args.patches:
         raise SystemExit("--recipe and --patches are exclusive: recipes "
                          "are single-net configs (drop one)")
+    if args.march and (args.patches or args.ensemble > 1 or args.recipe):
+        raise SystemExit("--march composes windows sequentially; combine "
+                         "it with --patches/--ensemble/--recipe per "
+                         "window is not supported (drop one)")
     if args.recipe:
         # best-known gate-meeting config (tpinn/problems/recipes.py);
         # the explicit sizing flags are ignored in this mode
@@ -114,6 +118,19 @@ def cmd_train(args):
             "rel_l2": res.rel_l2,
             "rel_l2_members": res.rel_l2_members,
             "weights": [float(v) for v in res.weights],
+        }))
+        return
+    if args.march:
+        from tpinn.core.march import run_time_marching
+
+        res = run_time_marching(problem, spec, args.march,
+                                axis=args.march_axis, output_dir=args.out,
+                                print_log=True, resume=args.resume)
+        print(json.dumps({
+            "problem": args.problem, "march": args.march,
+            "axis": args.march_axis,
+            "rel_l2": res.rel_l2,
+            "rel_l2_windows": [r.rel_l2 for r in res.windows],
         }))
         return
     if args.patches:
@@ -274,6 +291,14 @@ def main(argv=None):
                         "residual-min-norm convex combination "
                         "(core.ensemble.run_ensemble_training); the "
                         "combination record lands in OUT/ensemble.json")
+    t.add_argument("--march", type=int, default=0,
+                   help="time-marching (seq2seq): train N sequential "
+                        "windows along --march-axis, each handed the "
+                        "previous window's terminal state as its IC "
+                        "(core.march.run_time_marching); the composite "
+                        "record lands in OUT/march.json")
+    t.add_argument("--march-axis", default="t",
+                   help="evolution coordinate for --march")
 
     i = sub.add_parser(
         "invert",
