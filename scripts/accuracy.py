@@ -107,6 +107,11 @@ def main():
                         "1000*i), combine by residual-min-norm convex "
                         "weights, correct the mean once "
                         "(core.ensemble.run_ensemble_training)")
+    p.add_argument("--march", type=int, default=0,
+                   help="time-marching: N sequential windows along "
+                        "--march-axis (core.march.run_time_marching); "
+                        "the recorded rel_l2 is the composite's")
+    p.add_argument("--march-axis", default="t")
     p.add_argument("--grid", type=int, default=111)
     p.add_argument("--platform", default=None)
     p.add_argument("--cpu-fallback", action="store_true")
@@ -166,6 +171,11 @@ def main():
                         "copying its stage checkpoint in)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args()
+    if args.march and args.ensemble > 1:
+        raise SystemExit("--march and --ensemble are exclusive")
+    if args.march and args.hard_bc:
+        raise SystemExit("--march poses the IC handoff softly; --hard-bc "
+                         "cannot represent a learned terminal state")
 
     import jax
 
@@ -280,6 +290,36 @@ def main():
         out.mkdir(parents=True, exist_ok=True)
         (out / f"{args.tag}.json").write_text(json.dumps(rec, indent=2))
         print(json.dumps({"tag": args.tag, "rel_l2": eres.rel_l2,
+                          "wall_secs": round(wall, 2)}))
+        return
+    if args.march:
+        from tpinn.core.march import run_time_marching
+
+        mres = run_time_marching(
+            problem, spec, args.march, axis=args.march_axis,
+            output_dir=out_dir, print_log=not args.quiet,
+            log_fn=stage_log, resume=args.resume)
+        wall = time.perf_counter() - t0
+        rec = {
+            "tag": args.tag,
+            "problem": args.problem,
+            "rel_l2": mres.rel_l2,
+            "march": {
+                "n_windows": args.march, "axis": args.march_axis,
+                "edges": [float(v) for v in mres.edges],
+                "rel_l2_windows": [r.rel_l2 for r in mres.windows],
+            },
+            "wall_secs": round(wall, 2),
+            "backend": ("cpu" if mres.fell_back
+                        else jax.default_backend()),
+            "fell_back": mres.fell_back,
+            "config": {k: v for k, v in vars(args).items()
+                       if k not in ("out_dir", "quiet")},
+        }
+        out = Path(args.out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / f"{args.tag}.json").write_text(json.dumps(rec, indent=2))
+        print(json.dumps({"tag": args.tag, "rel_l2": mres.rel_l2,
                           "wall_secs": round(wall, 2)}))
         return
     res = train.run_training(problem, spec, print_log=not args.quiet,

@@ -209,7 +209,8 @@ def test_preset_payloads():
     from tpinn.app.presets import preset_names, preset_payload
     names = preset_names()
     assert "heat_2d" in names and "convection_1d" in names
-    assert len(names) == 7
+    assert "burgers_shock" in names
+    assert len(names) == 8
     p = preset_payload("heat_2d")
     assert p["equation"] == "u_t - u_xx"
     assert p["bcs"][0]["u"] == "sin(pi*x)"      # expression-valued IC

@@ -13,6 +13,8 @@ use manufactured solutions so the oracle is closed-form.
 
 from __future__ import annotations
 
+from typing import Optional
+
 
 import jax.numpy as jnp
 
@@ -97,6 +99,59 @@ def burgers_1d(nu: float = 0.01) -> ProblemSpec:
         ),
         exact=lambda z: jnp.exp(-z[:, 1:2]) * jnp.sin(jnp.pi * z[:, 0:1]),
         source=source,
+    )
+
+
+_HERMGAUSS = None
+
+
+def _burgers_shock_exact(z, nu: float):
+    """Cole–Hopf closed form of viscous Burgers with IC −sin(πx),
+    evaluated by 96-point Gauss–Hermite quadrature (the standard oracle
+    for this benchmark; public method).  Host-side float64 numpy — the
+    Cole–Hopf weight exp(−cos(πy)/(2πν)) reaches e^50 at ν = 0.01/π,
+    which overflows f32; every call site wraps exact() eagerly, so no
+    jit ever traces this."""
+    import numpy as np
+
+    global _HERMGAUSS
+    if _HERMGAUSS is None:
+        _HERMGAUSS = np.polynomial.hermite.hermgauss(96)
+    xi, w = _HERMGAUSS
+    z = np.asarray(z, np.float64)
+    x, t = z[:, 0:1], z[:, 1:2]
+    s = np.sqrt(np.maximum(4.0 * nu * t, 0.0))          # [N,1]
+    y = x - s * xi[None, :]                             # [N,Q]
+    expo = -np.cos(np.pi * y) / (2.0 * np.pi * nu)
+    g = np.exp(expo - expo.max(axis=1, keepdims=True))  # stabilized
+    num = np.sum(w * np.sin(np.pi * y) * g, axis=1, keepdims=True)
+    den = np.sum(w * g, axis=1, keepdims=True)
+    return -num / den
+
+
+def burgers_shock(nu: Optional[float] = None) -> ProblemSpec:
+    """The REAL Burgers benchmark (Raissi et al. 2019 config): ν = 0.01/π,
+    u(x,0) = −sin(πx), u(±1,t) = 0 — a genuine steep front forms at x = 0
+    by t ≈ 0.3 (|u_x(0,1)| ≈ 152), unlike burgers_1d's smooth manufactured
+    solution.  No forcing; the oracle is the Cole–Hopf integral evaluated
+    by Gauss–Hermite quadrature (exact BCs by antisymmetry).  The front is
+    where time-marching (--march) and the causal weighting earn their keep."""
+    if nu is None:
+        nu = 0.01 / float(jnp.pi)
+    ic = pde.compile_coord_expr("-sin(pi*x)", coords=("x", "t"))
+    return ProblemSpec(
+        name="burgers_shock",
+        equation=f"u_t + u*u_x - {nu}*u_xx",
+        coords=("x", "t"),
+        lb=(-1.0, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(-1.0, 0.0), hi=(1.0, 0.0), value_fn=ic,
+                           value_expr="-sin(pi*x)"),  # IC
+            sample.BCGroup(lo=(-1.0, 0.0), hi=(-1.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        exact=lambda z, _nu=nu: _burgers_shock_exact(z, _nu),
     )
 
 
@@ -284,6 +339,7 @@ PRESETS = {
     "annulus_laplace": annulus_laplace,
     "poisson_1d": poisson_1d,
     "burgers_1d": burgers_1d,
+    "burgers_shock": burgers_shock,
     "poisson_2d": poisson_2d,
     "heat_2d": heat_2d,
     "helmholtz_2d": helmholtz_2d,
@@ -321,6 +377,7 @@ HARD_BC = {
     "annulus_laplace": ("(1 - r)/0.9", "(r - 0.1)*(1 - r)"),
     "poisson_1d": ("0", "x*(1 - x)"),
     "burgers_1d": ("sin(pi*x)", "t*(1 - x**2)"),
+    "burgers_shock": ("-sin(pi*x)", "t*(1 - x**2)"),
     "poisson_2d": ("0", "x*(1 - x)*y*(1 - y)"),
     "heat_2d": ("sin(pi*x)", "t*x*(1 - x)"),
     "helmholtz_2d": _helmholtz_hard(),
