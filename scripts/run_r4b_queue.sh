@@ -132,6 +132,9 @@ run cvT20 5400 --problem convection_1d --stages "4x64:tanh" \
   --adam 120000 --lbfgs 8000 --n-col 8192 --n-adaptive 2048 --n-bd 512 \
   --grid 101 --hard-bc --pad-features 3 --causal-eps 20 --causal-bins 32 \
   --save-artifacts
+run cvTM 7200 --problem convection_1d --stages "4x64:tanh" --march 8 \
+  --adam 20000 --lbfgs 6000 --n-col 4096 --n-adaptive 1024 --n-bd 512 \
+  --grid 101 --pad-features 3 --save-artifacts
 run cvTc 5400 --problem convection_1d \
   --stages "4x64:tanh,4x64:tanh:warm,4x64:tanh:warm" \
   --stage-eq "1:u_t + 10*u_x" --stage-eq "2:u_t + 20*u_x" \

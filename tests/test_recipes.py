@@ -22,7 +22,10 @@ def test_recipe_builds(name):
     assert problem.name == name
     assert len(spec.stages) >= 1
     assert RECIPES[name].hard_bc == (problem.hard_bc is not None)
-    assert 0 < RECIPES[name].expected_rel_l2 < 1e-2
+    # gate-class unless explicitly provisional (hard benchmarks still
+    # being campaigned carry their best MEASURED value, honestly < 1)
+    cap = 1.0 if RECIPES[name].provisional else 1e-2
+    assert 0 < RECIPES[name].expected_rel_l2 < cap
     # 1-D problems must carry a 1-D evaluation grid
     assert len(spec.testing_size) == problem.dim
 
@@ -41,6 +44,17 @@ def _shrink(spec):
 def test_shrunken_annulus_recipe_trains():
     problem, spec = get_recipe("annulus_laplace")
     res = train.run_training(problem, _shrink(spec), print_log=False)
+    assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
+
+
+def test_shrunken_march_recipe_trains():
+    # exercises the march dispatch (Recipe.march > 0, the convection fix)
+    from tpinn.core.march import run_time_marching
+
+    problem, spec = get_recipe("convection_1d")
+    assert RECIPES["convection_1d"].march > 0
+    assert problem.hard_bc is None          # soft IC handoff required
+    res = run_time_marching(problem, _shrink(spec), 2, print_log=False)
     assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
 
 

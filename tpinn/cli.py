@@ -81,6 +81,21 @@ def cmd_train(args):
                 "weights": [float(v) for v in res.weights],
             }))
             return
+        from tpinn.problems.recipes import RECIPES
+
+        rec_march = RECIPES[args.problem].march
+        if rec_march:
+            from tpinn.core.march import run_time_marching
+
+            mres = run_time_marching(problem, spec, rec_march,
+                                     output_dir=args.out, print_log=True,
+                                     resume=args.resume)
+            print(json.dumps({
+                "problem": args.problem, "recipe": True,
+                "march": rec_march, "rel_l2": mres.rel_l2,
+                "rel_l2_windows": [r.rel_l2 for r in mres.windows],
+            }))
+            return
         res = train.run_training(problem, spec, output_dir=args.out,
                                  print_log=True, resume=args.resume)
         print(json.dumps({

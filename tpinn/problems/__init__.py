@@ -257,13 +257,15 @@ def convection_1d(c: float = 30.0) -> ProblemSpec:
     (Krishnapriyan et al. 2021; the motivating benchmark of the causal-
     weighting literature).  The residual is near-minimized by flattening
     u at later times, so plain MSE training stalls far from the
-    travelling wave.  Mitigations shipped here: TrainSpec.causal_eps
-    (advancing-front residual weighting — mechanism verified, slabs
-    converge strictly left→right) and per-stage equation curricula
-    (StageSpec.equation, ramping c upward with init_from="prev").
-    Measured CPU A/B at matched 24k-step budget (out/acc_cpu/cvD*):
-    neither arm reaches the wave yet — the literature budget for c=30
-    is ~10× larger; the decisive run rides the TPU queue.
+    travelling wave.  Mitigations shipped here, measured at equal
+    ~30k-step CPU budget (out/acc_cpu/cv*, out/march_cv):
+    time-marching WINS — 4 windows reach 2.04e-2 composite rel-L2
+    (the recipe, Recipe.march=4) where plain training gets 0.196 and
+    in-net causal weighting 0.265 (front mechanism verified — slabs
+    converge strictly left→right — but at this budget the swept-late
+    slabs are undertrained).  Per-stage c-curricula are the third arm
+    (StageSpec.equation + init_from="prev"); decisive TPU-budget A/Bs
+    ride the r4b queue (cvT0/cvT20/cvTc/cvTM).
 
     Posed 2π-periodic in x via the periodic feature map (the network is
     exactly periodic, so the IC u(x,0) = sin(x) is the only data term).

@@ -52,6 +52,16 @@ class Recipe:
     hard_bc: bool                 # pose with problems.HARD_BC[name]
     expected_rel_l2: float        # measured on TPU v5e (out/acc/<tag>.json)
     run_tag: str                  # committed evidence record
+    # True = expected_rel_l2 is the best MEASURED value so far, not yet a
+    # gate-class result — the preset is a hard benchmark whose decisive
+    # configuration is still being campaigned (see README's honest-status
+    # notes).  ``--recipe`` still runs the pinned best-known config.
+    provisional: bool = False
+    # > 0: the recipe is a time-marching config — run
+    # core.march.run_time_marching(problem, spec, march) instead of
+    # run_training (the CLI --recipe path dispatches on this).  spec
+    # describes ONE window; hard_bc must be False (soft IC handoff).
+    march: int = 0
 
 
 def _two_stage(depth, width, adam, lbfgs, *, n_col, n_band, n_adaptive,
@@ -167,6 +177,34 @@ RECIPES = {
     # density (masked to the L) concentrates points at the corner.
     # Measured on CPU; the queue revalidates on hardware.  Deflation off:
     # the box-spectral correctors don't apply to a masked domain.
+    # bsA (CPU, out/acc_cpu): 2.06e-3 on the REAL nu=0.01/pi Burgers
+    # front — plain hard-IC/BC single stage; Raissi-class accuracy on the
+    # first config.  TPU arm pending queue drain.
+    "burgers_shock": Recipe(
+        spec=TrainSpec(
+            n_col=4096, n_band=0, n_adaptive=2048, n_bd=256,
+            lw=(1.0, 0.0), grid=111,
+            stages=(StageSpec(depth=4, width=64, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=10000, lbfgs_epochs=5000),),
+            pad_features=3, testing_size=(111, 111),
+        ),
+        hard_bc=True, expected_rel_l2=2.06e-3, run_tag="bsA"),
+    # cvM (CPU): time-marching, 4 windows — 2.04e-2 composite where every
+    # single-net arm collapsed (plain 24k-step cvD0: 0.196; causal cvD10:
+    # 0.265).  The structural fix for "solving the PDE backwards in time";
+    # still provisional: the TPU-budget arms (r4b queue) target 1e-3-class.
+    "convection_1d": Recipe(
+        spec=TrainSpec(
+            n_col=2048, n_band=0, n_adaptive=512, n_bd=256,
+            lw=(1.0, 0.0), grid=111,
+            stages=(StageSpec(depth=4, width=64, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=6000, lbfgs_epochs=2000),),
+            pad_features=3, testing_size=(111, 111),
+        ),
+        hard_bc=False, expected_rel_l2=2.04e-2, run_tag="cvM",
+        provisional=True, march=4),
     "lshape_laplace": Recipe(
         spec=TrainSpec(
             n_col=2048, n_band=512, n_adaptive=1024, n_bd=128,
