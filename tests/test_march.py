@@ -69,6 +69,17 @@ def test_march_predictor_is_piecewise():
     assert out.tolist() == [1.0, 2.0, 2.0, 2.0]
 
 
+def test_march_shards_over_points_mesh():
+    """Windows train under points-DP sharding (the mesh threads through
+    to each window's run_training unchanged)."""
+    from tpinn import parallel
+
+    p = problems.heat_2d()
+    res = run_time_marching(p, tiny_spec(adam=60, lbfgs=30), 2,
+                            mesh=parallel.make_mesh())
+    assert np.isfinite(res.rel_l2)
+
+
 def test_march_end_to_end_and_serving(tmp_path):
     p = problems.heat_2d()
     res = run_time_marching(p, tiny_spec(), 2, output_dir=str(tmp_path))

@@ -132,13 +132,15 @@ def run_time_marching(
     log_fn: Optional[Callable] = None,
     print_log: bool = False,
     resume: bool = False,
+    mesh=None,
 ) -> MarchResult:
     """Train ``n_windows`` sequential slabs along coordinate ``axis`` and
     compose the piecewise predictor.  Each window is a full
     ``run_training`` of ``spec`` (total budget = n_windows x spec), so
     everything the single-net path has — multi-stage chains, causal
-    weighting inside the window, checkpoint/resume, CPU fallback — works
-    per window unchanged.  ``resume=True`` short-circuits finished
+    weighting inside the window (slab ranges follow the clipped
+    sub-domain automatically), checkpoint/resume, CPU fallback, and
+    points-DP sharding over ``mesh`` — works per window unchanged.  ``resume=True`` short-circuits finished
     windows from their stage checkpoints (run_training's own resume).
 
     Writes ``march.json`` + per-window checkpoint dirs under
@@ -181,7 +183,7 @@ def run_time_marching(
         res = run_training(
             sub, spec,
             output_dir=str(out / f"window_{k + 1}") if out else None,
-            log_fn=log_fn, print_log=print_log, resume=resume,
+            log_fn=log_fn, print_log=print_log, resume=resume, mesh=mesh,
         )
         results.append(res)
         predicts.append(res.predict)
