@@ -80,6 +80,39 @@ def test_march_shards_over_points_mesh():
     assert np.isfinite(res.rel_l2)
 
 
+def test_march_through_ui_schema(tmp_path):
+    """options.march routes run_pinn_training through time-marching and
+    the COMPOSITE's artifact set lands at output_dir's top level (the
+    result tabs render a march run like a plain one)."""
+    from tpinn.core.train import run_pinn_training
+
+    res = run_pinn_training(
+        equation="u_t - u_xx",
+        boundary={"bd_x1_min": 0.0, "bd_x1_max": 1.0, "bd_y1_min": 0.0,
+                  "bd_y1_max": 0.0, "bd_u1": "sin(pi*x)",
+                  "bd_x2_min": 0.0, "bd_x2_max": 0.0, "bd_y2_min": 0.0,
+                  "bd_y2_max": 1.0, "bd_u2": 0,
+                  "bd_x3_min": 1.0, "bd_x3_max": 1.0, "bd_y3_min": 0.0,
+                  "bd_y3_max": 1.0, "bd_u3": 0},
+        domain={"x_min": 0.0, "x_max": 1.0, "y_min": 0.0, "y_max": 1.0},
+        scl=1.0, epsil=1.0,
+        sample_points={"n_col": 200, "n_bd": 50, "n_add": 50},
+        network_size={"depth": 12, "width": 2},   # UI swaps the names
+        testing_size={"x": 21, "y": 21},
+        epochs={"adam": 60, "lbfgs": 30},
+        equation_weight={"f": 1.0, "df": 0},
+        output_dir=str(tmp_path),
+        options={"march": 2},
+        exact=lambda z: (jnp.exp(-jnp.pi**2 * z[:, 1:2])
+                         * jnp.sin(jnp.pi * z[:, 0:1])),
+    )
+    assert np.isfinite(res.rel_l2)
+    assert (tmp_path / "march.json").exists()
+    assert (tmp_path / "solution_residual_1.npz").exists()
+    assert (tmp_path / "error_1.npz").exists()
+    assert (tmp_path / "window_2" / "params_stage_2.npz").exists()
+
+
 def test_march_end_to_end_and_serving(tmp_path):
     p = problems.heat_2d()
     res = run_time_marching(p, tiny_spec(), 2, output_dir=str(tmp_path))

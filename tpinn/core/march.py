@@ -192,6 +192,32 @@ def run_time_marching(
 
     predict = make_march_predictor(predicts, edges, ai)
 
+    if out and problem.dim <= 2:
+        # the COMPOSITE's 11-artifact figure set at the top level (the
+        # per-window run_trainings wrote their own inside window_k/) so
+        # the result tabs render a march run exactly like a plain one
+        from tpinn.core import pde
+        from tpinn.core.train import (_residual_with_source,
+                                      _write_stage_artifacts)
+
+        tsize = resolve_testing_size(problem, spec.testing_size, log,
+                                     "march: ")
+        X_star, axes, _ = eval_grid(problem, tsize, jnp.float32)
+        ny, nx = ((1, tsize[0]) if problem.dim == 1
+                  else (tsize[1], tsize[0]))
+        U = np.asarray(predict(X_star)).reshape(ny, nx)
+        compiled = pde.compile_pde(problem.equation, problem.coords)
+        src = (pde.compile_coord_expr(problem.source, problem.coords)
+               if problem.source else None)
+        F = np.asarray(
+            _residual_with_source(compiled, src, predict, X_star)
+        ).reshape(ny, nx)
+        exact_star = (np.asarray(problem.exact(X_star))
+                      if problem.exact is not None else None)
+        hist = np.concatenate([r.history for r in results], axis=0)
+        _write_stage_artifacts(out, 1, problem, spec, axes, U, F,
+                               exact_star, hist)
+
     # full-domain rel-L2 vs the analytic oracle (each window's own
     # rel_l2 is slab-local; the composite is the number that matters)
     rel_l2 = None

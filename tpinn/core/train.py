@@ -1498,6 +1498,9 @@ UI_OPTION_SPEC = {
     # presets only; the axis stays the default "t"
     "causal_eps": float,
     "causal_bins": int,
+    # time-marching (core.march.run_time_marching): N sequential windows
+    # along the SECOND coordinate (the UI's y/t axis); 0 = off
+    "march": int,
     # UI inverse mode (round 4, tpinn.core.inverse): declare unknown
     # equation coefficients "name=init[,name=init…]"; observations are
     # synthesized from the oracle preset's analytic solution
@@ -1671,11 +1674,13 @@ def run_pinn_training(
     # whitelisted TrainSpec / per-stage overrides, coerced through the
     # SHARED registry (UI_OPTION_SPEC) the controller validates against
     inv_opts = {}
+    march_n = 0
     if options:
         coerced = {k: coerce_ui_option(k, v) for k, v in options.items()
                    if k in UI_OPTION_SPEC}
         inv_opts = {k: coerced.pop(k) for k in list(coerced)
                     if k in _UI_INVERSE_OPTIONS}
+        march_n = int(coerced.pop("march", 0) or 0)
         spec_keys = {k: v for k, v in coerced.items()
                      if k not in _UI_STAGE_OPTIONS}
         if spec_keys:
@@ -1685,6 +1690,26 @@ def run_pinn_training(
         if st_keys:
             spec = replace(spec, stages=tuple(
                 replace(s, **st_keys) for s in spec.stages))
+
+    if march_n and inv_opts.get("inverse_params"):
+        raise ValueError("march has no inverse-path implementation — "
+                         "drop one of options.march / inverse_params")
+    if march_n:
+        # UI time-marching: windows along the second (y/t) coordinate;
+        # the composite's artifact set lands at output_dir's top level
+        from tpinn.core.march import run_time_marching
+
+        mres = run_time_marching(problem, spec, march_n,
+                                 axis=problem.coords[1],
+                                 output_dir=output_dir, log_fn=log_fn,
+                                 print_log=log_fn is None)
+        return TrainResult(
+            problem=problem, spec=spec, stages=[],
+            predict=mres.predict, rel_l2=mres.rel_l2,
+            history=np.concatenate([r.history for r in mres.windows],
+                                   axis=0),
+            fell_back=mres.fell_back,
+        )
 
     if inv_opts.get("inverse_params"):
         # UI inverse mode: identify the declared unknown coefficients from

@@ -190,21 +190,23 @@ RECIPES = {
             pad_features=3, testing_size=(111, 111),
         ),
         hard_bc=True, expected_rel_l2=2.06e-3, run_tag="bsA"),
-    # cvM (CPU): time-marching, 4 windows — 2.04e-2 composite where every
+    # cvM8 (CPU): time-marching, 8 windows — 1.07e-2 composite where every
     # single-net arm collapsed (plain 24k-step cvD0: 0.196; causal cvD10:
-    # 0.265).  The structural fix for "solving the PDE backwards in time";
-    # still provisional: the TPU-budget arms (r4b queue) target 1e-3-class.
+    # 0.265; march-4 cvM: 2.04e-2 — narrower windows break through the
+    # collapse plateau faster AND cheaper).  The structural fix for
+    # "solving the PDE backwards in time"; still provisional: the
+    # TPU-budget arms (r4b queue, cvTM) target 1e-3-class.
     "convection_1d": Recipe(
         spec=TrainSpec(
             n_col=2048, n_band=0, n_adaptive=512, n_bd=256,
             lw=(1.0, 0.0), grid=111,
             stages=(StageSpec(depth=4, width=64, act_first="tanh",
                               scl=1.0, epsil=1.0,
-                              adam_epochs=6000, lbfgs_epochs=2000),),
+                              adam_epochs=3000, lbfgs_epochs=1000),),
             pad_features=3, testing_size=(111, 111),
         ),
-        hard_bc=False, expected_rel_l2=2.04e-2, run_tag="cvM",
-        provisional=True, march=4),
+        hard_bc=False, expected_rel_l2=1.07e-2, run_tag="cvM8",
+        provisional=True, march=8),
     "lshape_laplace": Recipe(
         spec=TrainSpec(
             n_col=2048, n_band=512, n_adaptive=1024, n_bd=128,
