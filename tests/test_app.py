@@ -210,7 +210,11 @@ def test_preset_payloads():
     names = preset_names()
     assert "heat_2d" in names and "convection_1d" in names
     assert "burgers_shock" in names
-    assert len(names) == 8
+    assert "allen_cahn" in names
+    # CLI-only exclusions: operator-BC presets (wave_1d's u_t velocity
+    # IC), value_fn-only BCs (kdv_1d's exact edge traces), masked domains
+    assert "wave_1d" not in names and "kdv_1d" not in names
+    assert len(names) == 9
     p = preset_payload("heat_2d")
     assert p["equation"] == "u_t - u_xx"
     assert p["bcs"][0]["u"] == "sin(pi*x)"      # expression-valued IC

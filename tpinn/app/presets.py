@@ -74,14 +74,17 @@ def _recipe_train_fields(name: str) -> Dict | None:
 
 
 def _ui_expressible(p) -> bool:
-    """The web form carries a 2-D box, numeric-or-expression BC values and
-    an optional residual-weight EXPRESSION: presets with d >= 3, callable
-    masks (non-box domains), or value_fn-only BC groups are CLI/API-only."""
+    """The web form carries a 2-D box, numeric-or-expression DIRICHLET BC
+    values and an optional residual-weight expression: presets with d >= 3,
+    callable masks (non-box domains), value_fn-only BC groups, or operator
+    (non-Dirichlet) groups — wave_1d's u_t velocity IC — are CLI/API-only
+    (the reference form is Dirichlet-only too, software.py:283-297)."""
     if p.dim > 2:
         return False
     if callable(p.residual_weight) or p.eval_mask is not None:
         return False
-    return all(g.value_fn is None or g.value_expr is not None
+    return all((g.value_fn is None or g.value_expr is not None)
+               and g.operator is None
                for g in p.bc_groups)
 
 

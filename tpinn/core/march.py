@@ -63,12 +63,29 @@ class MarchResult:
     fell_back: bool
 
 
+def axis_derivative(f: Callable, axis_index: int) -> Callable:
+    """∂f/∂z[axis] as a jittable callable (one jvp along the axis tangent)
+    — the velocity handoff for second-order-in-time marching."""
+    def df(z):
+        tang = jnp.zeros_like(z).at[:, axis_index].set(1.0)
+        return jax.jvp(f, (z,), (tang,))[1]
+
+    return df
+
+
 def window_problem(problem: ProblemSpec, axis_index: int,
                    t_lo: float, t_hi: float, k: int,
-                   prev_predict: Optional[Callable]) -> ProblemSpec:
+                   prev_predict: Optional[Callable],
+                   handoff_velocity: bool = False) -> ProblemSpec:
     """The slab-k sub-problem: domain clipped to [t_lo, t_hi] along the
     causal axis, BC groups intersected with the slab, and (for k > 0) the
-    previous window's terminal state appended as the slab's IC."""
+    previous window's terminal state appended as the slab's IC.
+
+    ``handoff_velocity``: also pin ∂u/∂t at the handoff plane to the
+    previous window's time derivative (an operator BC group) — required
+    for equations that are SECOND order along the march axis (wave): the
+    Cauchy data of a u_tt problem is (u, u_t), and handing off only u
+    leaves each window free to pick any velocity."""
     lb = list(problem.lb)
     ub = list(problem.ub)
     lb[axis_index], ub[axis_index] = float(t_lo), float(t_hi)
@@ -96,6 +113,13 @@ def window_problem(problem: ProblemSpec, axis_index: int,
         groups.append(sample.BCGroup(
             lo=tuple(lo), hi=tuple(hi), value_fn=prev_predict,
             value_expr=f"<window {k} terminal state>"))
+        if handoff_velocity:
+            axis = problem.coords[axis_index]
+            groups.append(sample.BCGroup(
+                lo=tuple(lo), hi=tuple(hi),
+                value_fn=axis_derivative(prev_predict, axis_index),
+                value_expr=f"<window {k} terminal velocity>",
+                operator=f"u_{axis}"))
 
     return replace(
         problem,
@@ -160,6 +184,18 @@ def run_time_marching(
     ai = problem.coords.index(axis)
     edges = np.linspace(problem.lb[ai], problem.ub[ai], n_windows + 1)
 
+    # equations second-order along the march axis (wave) hand off the
+    # full Cauchy data (u, u_t); first-order ones (heat/burgers/
+    # convection/allen-cahn) hand off u only
+    from tpinn.core import pde
+    compiled = pde.compile_pde(problem.equation, problem.coords)
+    axis_order = max((ix.count(ai) for ix in compiled.indices), default=0)
+    if axis_order > 2:
+        raise ValueError(
+            f"time marching supports order <= 2 along the march axis; "
+            f"{problem.name} is order {axis_order} in {axis!r}")
+    handoff_velocity = axis_order == 2
+
     def log(msg):
         if log_fn is not None:
             log_fn(msg)
@@ -176,7 +212,8 @@ def run_time_marching(
     fell_back = False
     for k in range(n_windows):
         sub = window_problem(problem, ai, edges[k], edges[k + 1], k,
-                             prev_predict)
+                             prev_predict,
+                             handoff_velocity=handoff_velocity)
         log(f"march window {k + 1}/{n_windows}: {axis} in "
             f"[{edges[k]:g}, {edges[k + 1]:g}], "
             f"{len(sub.bc_groups)} BC groups")
@@ -196,7 +233,6 @@ def run_time_marching(
         # the COMPOSITE's 11-artifact figure set at the top level (the
         # per-window run_trainings wrote their own inside window_k/) so
         # the result tabs render a march run exactly like a plain one
-        from tpinn.core import pde
         from tpinn.core.train import (_residual_with_source,
                                       _write_stage_artifacts)
 
@@ -206,7 +242,6 @@ def run_time_marching(
         ny, nx = ((1, tsize[0]) if problem.dim == 1
                   else (tsize[1], tsize[0]))
         U = np.asarray(predict(X_star)).reshape(ny, nx)
-        compiled = pde.compile_pde(problem.equation, problem.coords)
         src = (pde.compile_coord_expr(problem.source, problem.coords)
                if problem.source else None)
         F = np.asarray(

@@ -59,9 +59,10 @@ def init_mlp(key: Array, sizes: Sequence[int], dtype=jnp.float32) -> Params:
 
 MINMAX = "minmax"
 PERIODIC = "periodic"
+PERIODIC_FIT = "periodic_fit"
 IDENTITY = "identity"
 
-_FEATURE_WIDTH = {MINMAX: 1, PERIODIC: 2, IDENTITY: 1}
+_FEATURE_WIDTH = {MINMAX: 1, PERIODIC: 2, PERIODIC_FIT: 2, IDENTITY: 1}
 
 
 @dataclass(frozen=True)
@@ -97,6 +98,14 @@ class FeatureMap:
             elif kind == PERIODIC:
                 cols.append(jnp.cos(x))
                 cols.append(jnp.sin(x))
+            elif kind == PERIODIC_FIT:
+                # period = the coordinate's domain width (PERIODIC assumes
+                # the raw coordinate spans one 2π period, which only suits
+                # angle-like axes; this variant makes any box axis exactly
+                # periodic — allen_cahn's x∈[−1,1], nls's x∈[−5,5])
+                w = 2.0 * jnp.pi * (x - lb[i]) / (ub[i] - lb[i])
+                cols.append(jnp.cos(w))
+                cols.append(jnp.sin(w))
             elif kind == IDENTITY:
                 cols.append(x)
             else:  # pragma: no cover - guarded by dataclass construction

@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Optional
 
 
+import math
+
 import jax.numpy as jnp
 
 from tpinn.core import net, pde, sample
@@ -23,7 +25,8 @@ from tpinn.core.train import ProblemSpec
 
 __all__ = ["PRESETS", "get_problem", "get_recipe", "RECIPES",
            "annulus_laplace", "poisson_1d",
-           "burgers_1d", "poisson_2d", "heat_2d", "helmholtz_2d"]
+           "burgers_1d", "poisson_2d", "heat_2d", "helmholtz_2d",
+           "allen_cahn", "wave_1d", "kdv_1d"]
 
 
 def annulus_laplace() -> ProblemSpec:
@@ -287,6 +290,130 @@ def convection_1d(c: float = 30.0) -> ProblemSpec:
     )
 
 
+_AC_EXACT = None
+
+
+def _allen_cahn_oracle(z):
+    """Lazy ETDRK4 spectral reference (problems.oracles) — host-side f64
+    numpy, built once per process (~1 s); never traced (burgers_shock's
+    oracle discipline).  Measured oracle accuracy: dt-halving agreement
+    1.7e-11 at t=1; interpolated-field error vs a 2× finer solve
+    rms 7.9e-6 / max 3.0e-4 (interface-localized) — far below any PINN
+    accuracy on this benchmark."""
+    global _AC_EXACT
+    if _AC_EXACT is None:
+        from tpinn.problems import oracles
+
+        t, x, U = oracles.allen_cahn_solution()
+        _AC_EXACT = oracles.grid_interpolant(t, x, U, 2.0)
+    return _AC_EXACT(z)
+
+
+def allen_cahn() -> ProblemSpec:
+    """The Raissi et al. (2019) Allen–Cahn benchmark — the canonical STIFF
+    reaction–diffusion PINN stress test:
+
+        u_t − 1e-4·u_xx + 5u³ − 5u = 0,   x∈[−1,1], t∈[0,1]
+        u(x,0) = x²cos(πx),  periodic in x
+
+    The bistable reaction term sharpens the IC into near-±1 plateaus
+    separated by thin (√γ ≈ 0.01-wide) interface layers — plain space-time
+    PINN training famously fails here (it was the motivating example of
+    the seq2seq/marching literature), which makes it the flagship problem
+    for ``--march``.  Periodicity is hard-posed via the domain-fitted
+    periodic embedding (net.PERIODIC_FIT), so the IC is the only data
+    term.  No closed form: the oracle is the ETDRK4 Fourier-spectral
+    reference (problems.oracles.allen_cahn_solution)."""
+    ic = pde.compile_coord_expr("x**2*cos(pi*x)", coords=("x", "t"))
+    return ProblemSpec(
+        name="allen_cahn",
+        equation="u_t - 0.0001*u_xx + 5*u**3 - 5*u",
+        coords=("x", "t"),
+        lb=(-1.0, 0.0),
+        ub=(1.0, 1.0),
+        feature_kinds=(net.PERIODIC_FIT, net.MINMAX),
+        bc_groups=(
+            sample.BCGroup(lo=(-1.0, 0.0), hi=(1.0, 0.0), value_fn=ic,
+                           value_expr="x**2*cos(pi*x)"),   # IC
+        ),
+        exact=_allen_cahn_oracle,
+    )
+
+
+def wave_1d() -> ProblemSpec:
+    """Second-order-in-time: the 1-D wave equation u_tt = 4u_xx on
+    x∈[0,1], t∈[0,1] with the two-mode standing wave
+
+        u = sin(πx)cos(2πt) + ½sin(4πx)cos(8πt)
+
+    (the benchmark of Wang et al.'s causal-training paper).  Exercises
+    u_tt through the derivative engine and the OPERATOR boundary condition
+    (BCGroup.operator="u_t"): a well-posed wave IC pins both u(x,0) and
+    u_t(x,0), which no Dirichlet-only UI (the reference's, software.py
+    :283-297) can express.  The hard-BC recipe instead uses the bubble t²
+    — u = IC(x) + t²·x(1−x)·N satisfies all four constraints exactly."""
+    ic = pde.compile_coord_expr("sin(pi*x) + 0.5*sin(4*pi*x)",
+                                coords=("x", "t"))
+    return ProblemSpec(
+        name="wave_1d",
+        equation="u_tt - 4*u_xx",
+        coords=("x", "t"),
+        lb=(0.0, 0.0),
+        ub=(1.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value_fn=ic,
+                           value_expr="sin(pi*x) + 0.5*sin(4*pi*x)"),  # IC
+            sample.BCGroup(lo=(0.0, 0.0), hi=(1.0, 0.0), value=0.0,
+                           operator="u_t"),           # velocity IC
+            sample.BCGroup(lo=(0.0, 0.0), hi=(0.0, 1.0), value=0.0),
+            sample.BCGroup(lo=(1.0, 0.0), hi=(1.0, 1.0), value=0.0),
+        ),
+        exact=lambda z: (
+            jnp.sin(jnp.pi * z[:, 0:1]) * jnp.cos(2 * jnp.pi * z[:, 1:2])
+            + 0.5 * jnp.sin(4 * jnp.pi * z[:, 0:1])
+            * jnp.cos(8 * jnp.pi * z[:, 1:2])),
+    )
+
+
+def kdv_1d(c: float = 4.0, a: float = -5.0) -> ProblemSpec:
+    """Korteweg–de Vries single soliton — THIRD-order dispersion:
+
+        u_t + 6u·u_x + u_xxx = 0,   x∈[−10,10], t∈[0,1]
+        u = (c/2)·sech²(√c/2·(x − ct − a))
+
+    The order-3 term rides the nested-jvp derivative path
+    (tpinn.core.deriv: order ≥ 3 multi-indices), which no other preset
+    reaches.  Dirichlet data from the exact trace on both edges (soliton
+    tails ≤ 7e-4 there) + the IC; the balance of nonlinear steepening
+    against dispersion means the profile must translate undistorted —
+    any residual shortcut shows up immediately as shape error."""
+    # host math only: preset construction must never dispatch to the
+    # device (the UI preset list builds every spec; a wedged backend
+    # would hang the whole app on a jnp call here)
+    rc = math.sqrt(c) / 2.0
+
+    def exact(z):
+        s = rc * (z[:, 0:1] - c * z[:, 1:2] - a)
+        return (c / 2.0) / jnp.cosh(s) ** 2
+
+    ic_expr = f"{c / 2.0}/cosh({rc}*(x - {a}))**2"
+    ic = pde.compile_coord_expr(ic_expr, coords=("x", "t"))
+    return ProblemSpec(
+        name="kdv_1d",
+        equation="u_t + 6*u*u_x + u_xxx",
+        coords=("x", "t"),
+        lb=(-10.0, 0.0),
+        ub=(10.0, 1.0),
+        bc_groups=(
+            sample.BCGroup(lo=(-10.0, 0.0), hi=(10.0, 0.0), value_fn=ic,
+                           value_expr=ic_expr),                 # IC
+            sample.BCGroup(lo=(-10.0, 0.0), hi=(-10.0, 1.0), value_fn=exact),
+            sample.BCGroup(lo=(10.0, 0.0), hi=(10.0, 1.0), value_fn=exact),
+        ),
+        exact=exact,
+    )
+
+
 def lshape_laplace() -> ProblemSpec:
     """Beyond the reference (box domains only): Laplace on the L-shaped
     domain [−1,1]² ∖ (0,1]×[−1,0) — the classic re-entrant-corner
@@ -348,6 +475,9 @@ PRESETS = {
     "poisson_3d": poisson_3d,
     "convection_1d": convection_1d,
     "lshape_laplace": lshape_laplace,
+    "allen_cahn": allen_cahn,
+    "wave_1d": wave_1d,
+    "kdv_1d": kdv_1d,
 }
 
 
@@ -386,6 +516,10 @@ HARD_BC = {
     "poisson_3d": ("0", "x*(1 - x)*y*(1 - y)*z*(1 - z)"),
     # hard IC only — x is handled by the periodic feature map
     "convection_1d": ("sin(x)", "t"),
+    # hard IC only — x is handled by the domain-fitted periodic map
+    "allen_cahn": ("x**2*cos(pi*x)", "t"),
+    # the t² bubble pins u(x,0) AND u_t(x,0); x(1−x) the edges
+    "wave_1d": ("sin(pi*x) + 0.5*sin(4*pi*x)", "t**2*x*(1 - x)"),
 }
 
 

@@ -207,6 +207,47 @@ RECIPES = {
         ),
         hard_bc=False, expected_rel_l2=1.07e-2, run_tag="cvM8",
         provisional=True, march=8),
+    # acM4 (CPU): the canonical stiff PINN failure case — plain space-time
+    # training collapses to the metastable branch; 4-window marching with
+    # the domain-fitted periodic embedding breaks the collapse (the same
+    # mechanism as convection_1d, measured there; campaign running).
+    "allen_cahn": Recipe(
+        spec=TrainSpec(
+            n_col=4096, n_band=0, n_adaptive=1024, n_bd=512,
+            lw=(1.0, 0.0), grid=111,
+            stages=(StageSpec(depth=4, width=64, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=6000, lbfgs_epochs=3000),),
+            pad_features=3, testing_size=(201, 101),
+        ),
+        hard_bc=False, expected_rel_l2=9.9e-1, run_tag="acM4",
+        provisional=True, march=4),
+    # wvA (CPU): hard-BC ansatz (the t² bubble pins u AND u_t at t=0);
+    # two-frequency standing wave — campaign running.
+    "wave_1d": Recipe(
+        spec=TrainSpec(
+            n_col=8192, n_band=0, n_adaptive=2048, n_bd=0,
+            lw=(1.0, 0.0), grid=111,
+            stages=(StageSpec(depth=5, width=64, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=10000, lbfgs_epochs=5000),),
+            pad_features=3, testing_size=(111, 111),
+        ),
+        hard_bc=True, expected_rel_l2=9.9e-1, run_tag="wvA",
+        provisional=True),
+    # kdA (CPU): third-order dispersion through the nested-jvp path;
+    # soft IC + exact edge traces — campaign running.
+    "kdv_1d": Recipe(
+        spec=TrainSpec(
+            n_col=4096, n_band=0, n_adaptive=1024, n_bd=256,
+            lw=(1.0, 0.0), grid=111,
+            stages=(StageSpec(depth=4, width=64, act_first="tanh",
+                              scl=1.0, epsil=1.0,
+                              adam_epochs=8000, lbfgs_epochs=4000),),
+            pad_features=3, testing_size=(111, 111),
+        ),
+        hard_bc=False, expected_rel_l2=9.9e-1, run_tag="kdA",
+        provisional=True),
     "lshape_laplace": Recipe(
         spec=TrainSpec(
             n_col=2048, n_band=512, n_adaptive=1024, n_bd=128,
