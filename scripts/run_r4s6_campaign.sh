@@ -26,6 +26,11 @@ run wvA --problem wave_1d --stages "5x64:tanh" --hard-bc \
   --adam 10000 --lbfgs 5000 --n-col 8192 --n-band 0 --n-adaptive 2048 \
   --n-bd 0 --grid 111
 
+# wave fallback: Fourier features for the 4pi/8pi modes
+run wvB --problem wave_1d --stages "5x64:tanh:ff64:fs10" --hard-bc \
+  --adam 10000 --lbfgs 5000 --n-col 8192 --n-band 0 --n-adaptive 2048 \
+  --n-bd 0 --grid 111
+
 # kdv: third-order dispersion through the nested-jvp path
 run kdA --problem kdv_1d --stages "4x64:tanh" \
   --adam 8000 --lbfgs 4000 --n-col 4096 --n-band 0 --n-adaptive 1024 \

@@ -158,3 +158,19 @@ def test_causal_downweights_late_slabs_only():
     g = jax.grad(lambda p: caus(p, data, lw, ref)[0])(params)
     assert all(bool(jnp.all(jnp.isfinite(x)))
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_empty_boundary_batch_is_zero_not_nan():
+    """n_bd=0 is legal with a full hard-BC ansatz: ms_error on an empty
+    batch must contribute 0 (jnp.mean over a zero-length axis is NaN and
+    used to poison the total loss — wvA regression)."""
+    assert np.all(np.asarray(loss_mod.ms_error(jnp.zeros((0, 1)))) == 0.0)
+
+    predictor, compiled, params, data = _setup()
+    data = dict(data,
+                x_bd=[jnp.zeros((0, 2)), jnp.zeros((0, 2))],
+                u_bd=[jnp.zeros((0, 1)), jnp.zeros((0, 1))])
+    loss_fn = loss_mod.make_loss(predictor, compiled)
+    ln, info = jax.jit(loss_fn)(params, data, jnp.array([1.0, 0.0]),
+                                jnp.array(1.0))
+    assert np.isfinite(float(ln)) and np.isfinite(np.asarray(info)).all()

@@ -31,7 +31,14 @@ Array = jax.Array
 
 
 def ms_error(diff: Array) -> Array:
-    """Columnwise mean squared error (software.py:241-242)."""
+    """Columnwise mean squared error (software.py:241-242).
+
+    An EMPTY batch contributes zero, not NaN: with full hard-BC ansatzes
+    n_bd=0 is a legal config (every constraint is exact by construction),
+    and jnp.mean over a zero-length axis would otherwise poison the total
+    loss.  Static shape check — resolved at trace time, jit-safe."""
+    if diff.shape[0] == 0:
+        return jnp.zeros(diff.shape[1:], diff.dtype)
     return jnp.mean(jnp.square(diff), axis=0)
 
 
