@@ -120,8 +120,10 @@ RECIPES = {
         spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
                         n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300),
         hard_bc=True, expected_rel_l2=8.1e-7, run_tag="pJ"),
-    # tS: 3.69e-5 rel-L2 — the single-stage VP recipe (the annulus
-    # winner's shape transplanted; beat every 2-stage arm at 1/3 the wall)
+    # tW: 7.64e-6 rel-L2 (all-TPU, out/acc/tW.json — same config as tS,
+    # which measured 3.69e-5; the in-run deflation="full" pass is the
+    # difference) — the single-stage VP recipe (the annulus winner's
+    # shape transplanted; beat every 2-stage arm at 1/3 the wall)
     "heat_2d": Recipe(
         spec=TrainSpec(
             n_col=20000, n_band=2000, n_adaptive=6000, n_bd=500,
@@ -132,7 +134,7 @@ RECIPES = {
                               lbfgs_grid=300, lbfgs_rounds=3),),
             lsq_polish="auto", pad_features=3, deflation="full",
         ),
-        hard_bc=True, expected_rel_l2=3.7e-5, run_tag="tS"),
+        hard_bc=True, expected_rel_l2=7.6e-6, run_tag="tW"),
     # hS: 3.84e-4 rel-L2 — soft BC, Fourier features, k-continuation,
     # LSQ polish; the soft-BC Chebyshev defect correction applies on top
     "helmholtz_2d": Recipe(
