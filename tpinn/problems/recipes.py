@@ -19,14 +19,16 @@ Recipe notes (measured, see REPORT.md):
   exact f64 last-layer solve (``lsq_polish="auto"``).
 - The annulus flagship rides one-pass bf16 MXU matmuls through the Adam
   phase (``adam_precision="default"``) — converged accuracy is set by the
-  exact-precision L-BFGS/polish phases (eM: 1.8e-6, the build's best).
+  exact-precision L-BFGS/polish phases (eN: 1.75e-7 with in-run deflation).
 - Helmholtz k=20 trains soft-BC (hard-BC measured 0.43-1.1 at high k)
   with lw0 ≈ 1/k⁴ and a k-continuation curriculum: stage 1 solves k=10,
   stage 2 warm-starts the same net at the true k.
 - Every recipe closes with the spectral defect correction
-  (``deflation="full"``): offline on the committed checkpoints it gains
-  poisson_1d 13949x, poisson_2d 12.5x, annulus 9.9x, burgers 5.9x (one
-  Newton step), heat 4.5x, helmholtz 2.5x (soft-BC Chebyshev) — see
+  (``deflation="full"``): validated IN-RUN on TPU (out/acc, Aug 20) it
+  gains annulus 10.6x (eN 1.75e-7), poisson_2d 68x (pW 1.20e-8), burgers
+  7.8x (bN 1.11e-6, one Newton step), heat 4.8x (tW 7.64e-6) over the
+  best pre-deflation runs; offline on committed checkpoints poisson_1d
+  gains 13949x (2.5e-12), helmholtz 2.5x (soft-BC Chebyshev) — see
   REPORT.md; the guards make it a no-op where it cannot help.  Cost:
   seconds of host CPU after the final stage (the linearized system is
   assembled from per-index coefficient fields, not per-column
@@ -85,7 +87,8 @@ def _two_stage(depth, width, adam, lbfgs, *, n_col, n_band, n_adaptive,
 
 
 RECIPES = {
-    # eM: 1.85e-6 rel-L2, 6x80 single-stage VP flagship, bf16 Adam
+    # eN: 1.75e-7 rel-L2 (all-TPU, out/acc/eN.json — the eM config with
+    # the deflation="full" pass IN-RUN, 10.6x over eM's 1.85e-6)
     "annulus_laplace": Recipe(
         spec=TrainSpec(
             n_col=30000, n_band=5000, n_adaptive=10000, n_bd=500,
@@ -96,7 +99,7 @@ RECIPES = {
                               lbfgs_grid=450, lbfgs_rounds=3),),
             lsq_polish="auto", adam_precision="default", deflation="full",
         ),
-        hard_bc=True, expected_rel_l2=1.8e-6, run_tag="eM"),
+        hard_bc=True, expected_rel_l2=1.7e-7, run_tag="eN"),
     # p1K: 3.55e-8 rel-L2
     "poisson_1d": Recipe(
         spec=TrainSpec(
@@ -110,16 +113,18 @@ RECIPES = {
             deflation="full",
         ),
         hard_bc=True, expected_rel_l2=3.6e-8, run_tag="p1K"),
-    # bJ: 8.70e-6 rel-L2 (nonlinear — the polish auto-skips)
+    # bN: 1.11e-6 rel-L2 (all-TPU, out/acc/bN.json — bJ config with the
+    # deflation Newton step in-run, 7.8x over bJ's 8.70e-6)
     "burgers_1d": Recipe(
         spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
                         n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300),
-        hard_bc=True, expected_rel_l2=8.7e-6, run_tag="bJ"),
-    # pJ: 8.13e-7 rel-L2
+        hard_bc=True, expected_rel_l2=1.1e-6, run_tag="bN"),
+    # pW: 1.20e-8 rel-L2 (all-TPU, out/acc/pW.json — pJ config with the
+    # deflation pass in-run, 68x over pJ's 8.13e-7)
     "poisson_2d": Recipe(
         spec=_two_stage(5, 64, 10000, 4000, n_col=20000, n_band=2000,
                         n_adaptive=6000, n_bd=500, lw0=1.0, lbfgs_grid=300),
-        hard_bc=True, expected_rel_l2=8.1e-7, run_tag="pJ"),
+        hard_bc=True, expected_rel_l2=1.2e-8, run_tag="pW"),
     # tW: 7.64e-6 rel-L2 (all-TPU, out/acc/tW.json — same config as tS,
     # which measured 3.69e-5; the in-run deflation="full" pass is the
     # difference) — the single-stage VP recipe (the annulus winner's
@@ -209,10 +214,11 @@ RECIPES = {
         ),
         hard_bc=False, expected_rel_l2=1.07e-2, run_tag="cvM8",
         provisional=True, march=8),
-    # acM4 (CPU): the canonical stiff PINN failure case — plain space-time
-    # training collapses to the metastable branch; 4-window marching with
-    # the domain-fitted periodic embedding breaks the collapse (the same
-    # mechanism as convection_1d, measured there; campaign running).
+    # acM4: 1.95e-2 rel-L2 (all-TPU, out/acc/acM4.json) — the canonical
+    # stiff PINN failure case: plain space-time training collapses to the
+    # metastable branch; 4-window marching with the domain-fitted periodic
+    # embedding breaks the collapse.  Still provisional: 1e-2-class, the
+    # sharp-interface refinement campaign continues (r5 arms).
     "allen_cahn": Recipe(
         spec=TrainSpec(
             n_col=4096, n_band=0, n_adaptive=1024, n_bd=512,
@@ -222,7 +228,7 @@ RECIPES = {
                               adam_epochs=6000, lbfgs_epochs=3000),),
             pad_features=3, testing_size=(201, 101),
         ),
-        hard_bc=False, expected_rel_l2=9.9e-1, run_tag="acM4",
+        hard_bc=False, expected_rel_l2=1.95e-2, run_tag="acM4",
         provisional=True, march=4),
     # wvA (CPU): hard-BC ansatz (the t² bubble pins u AND u_t at t=0);
     # two-frequency standing wave — campaign running.
