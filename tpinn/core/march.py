@@ -252,6 +252,26 @@ def run_time_marching(
         hist = np.concatenate([r.history for r in results], axis=0)
         _write_stage_artifacts(out, 1, problem, spec, axes, U, F,
                                exact_star, hist)
+        # composite collocation tab: every window's sampled points over
+        # the composite |residual| density (each window's own artifact
+        # lives in window_k/; the top level needs one so the result tabs
+        # render a march run exactly like a plain one)
+        from tpinn.utils import artifacts
+
+        cols = []
+        for k in range(n_windows):
+            p = out / f"window_{k + 1}" / "collocation_point_1.npz"
+            if p.exists():
+                with np.load(p) as d:
+                    cols.append(np.asarray(d["X_col"]))
+        if cols:
+            limit = [problem.lb[0], problem.ub[0]] + (
+                [problem.lb[1], problem.ub[1]] if problem.dim == 2
+                else [0.0, 1.0])
+            artifacts.write_collocation(
+                out / "collocation_point_1.npz",
+                U=np.abs(F), X_col=np.concatenate(cols, axis=0),
+                limit=limit)
 
     # full-domain rel-L2 vs the analytic oracle (each window's own
     # rel_l2 is slab-local; the composite is the number that matters)
