@@ -100,3 +100,27 @@ def test_cli_problems_lists_presets():
     for name in ["annulus_laplace", "poisson_1d", "burgers_1d",
                  "poisson_2d", "heat_2d", "helmholtz_2d"]:
         assert name in out.stdout
+
+
+def test_probe_backend_require(monkeypatch):
+    """probe_backend(require=) asserts WHICH backend served the op, so a
+    silent CPU fallback cannot pass for a healthy accelerator (advisor-r4
+    finding #3; subprocess mocked — a real probe could hang on a wedged
+    tunnel)."""
+    from tpinn.utils import backendprobe
+
+    class _Ok:
+        stdout = "backend tpu\nok 128.0\n"
+
+    monkeypatch.setattr(backendprobe.subprocess, "run",
+                        lambda *a, **k: _Ok)
+    assert backendprobe.probe_backend(require="tpu")
+    assert not backendprobe.probe_backend(require="cpu")
+    assert backendprobe.probe_backend()          # no require: op ran
+
+    class _Dead:
+        stdout = ""
+
+    monkeypatch.setattr(backendprobe.subprocess, "run",
+                        lambda *a, **k: _Dead)
+    assert not backendprobe.probe_backend()
