@@ -350,5 +350,29 @@ def main():
                       "wall_secs": round(wall, 2)}))
 
 
+def _is_backend_death(exc: BaseException) -> bool:
+    """True for errors that mean the tunnel/worker died mid-run (the
+    round-5 flap pattern: dispatches start failing with UNAVAILABLE /
+    connection errors minutes into a healthy-probed run) — queue scripts
+    retry EX_TEMPFAIL, but an unmapped crash is rc=1 and final."""
+    text = f"{type(exc).__name__}: {exc}"
+    needles = ("UNAVAILABLE", "DEADLINE_EXCEEDED", "Socket closed",
+               "failed to connect", "Connection reset", "INTERNAL:",
+               "worker", "plugin program", "ABORTED")
+    return any(n in text for n in needles)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:          # noqa: BLE001 — classify, then re-raise
+        if _is_backend_death(e):
+            import traceback
+
+            traceback.print_exc()
+            print("backend died mid-run (mapped to EX_TEMPFAIL for queue "
+                  "retry)", file=sys.stderr)
+            raise SystemExit(75)
+        raise
