@@ -163,11 +163,10 @@ RECIPES = {
             pad_features=3, lsq_polish="auto", deflation="full",
         ),
         hard_bc=False, expected_rel_l2=3.8e-4, run_tag="hS"),
-    # nd1: 3-D cube Poisson (beyond the 2-D reference) — hard-BC ansatz
-    # + VP loop on a 24³ deterministic grid.  Measured on CPU (the 3-D
-    # preset postdates the committed TPU campaigns; the queue revalidates
-    # on hardware when the backend returns).  Deflation stays off: the
-    # spectral corrector is 1-D/2-D (polish.defect_correction guards).
+    # nd1: 8.87e-6 rel-L2 (all-TPU, out/acc/nd1.json) — 3-D cube Poisson
+    # (beyond the 2-D reference), hard-BC ansatz + VP loop on a 24³
+    # deterministic grid.  Deflation stays off: the spectral corrector is
+    # 1-D/2-D (polish.defect_correction guards).
     "poisson_3d": Recipe(
         spec=TrainSpec(
             n_col=4000, n_band=1000, n_adaptive=1000, n_bd=200,
@@ -178,12 +177,12 @@ RECIPES = {
                               lbfgs_grid=24, lbfgs_rounds=2),),
             lsq_polish="auto", testing_size=(48, 48, 48),
         ),
-        hard_bc=True, expected_rel_l2=8.1e-4, run_tag="nd1"),
-    # ls1: L-shaped Laplace (non-box domain via masked residual) — the
-    # re-entrant-corner singularity caps a plain MLP near 1e-2; adaptive
-    # density (masked to the L) concentrates points at the corner.
-    # Measured on CPU; the queue revalidates on hardware.  Deflation off:
-    # the box-spectral correctors don't apply to a masked domain.
+        hard_bc=True, expected_rel_l2=8.9e-6, run_tag="nd1"),
+    # ls1: 5.34e-3 rel-L2 (all-TPU, out/acc/ls1.json) — L-shaped Laplace
+    # (non-box domain via masked residual): the re-entrant-corner
+    # singularity caps a plain MLP near 1e-2; adaptive density (masked to
+    # the L) concentrates points at the corner.  Deflation off: the
+    # box-spectral correctors don't apply to a masked domain.
     # bsA (CPU, out/acc_cpu): 2.06e-3 on the REAL nu=0.01/pi Burgers
     # front — plain hard-IC/BC single stage; Raissi-class accuracy on the
     # first config.  TPU arm pending queue drain.
@@ -265,7 +264,7 @@ RECIPES = {
                               adam_epochs=6000, lbfgs_epochs=6000),),
             pad_features=3, testing_size=(81, 81),
         ),
-        hard_bc=False, expected_rel_l2=8.1e-3, run_tag="ls1"),
+        hard_bc=False, expected_rel_l2=5.3e-3, run_tag="ls1"),
 }
 
 
