@@ -100,7 +100,9 @@ RECIPES = {
             lsq_polish="auto", adam_precision="default", deflation="full",
         ),
         hard_bc=True, expected_rel_l2=1.7e-7, run_tag="eN"),
-    # p1K: 3.55e-8 rel-L2
+    # p1W: 2.55e-12 rel-L2 (all-TPU, out/acc/p1W.json — p1K config with
+    # the diagonal full-band deflation in-run; machine-precision class,
+    # reproducing the offline 13949x prediction live)
     "poisson_1d": Recipe(
         spec=TrainSpec(
             n_col=8000, n_band=0, n_adaptive=1000, n_bd=200,
@@ -112,7 +114,7 @@ RECIPES = {
             lsq_polish="auto", pad_features=3, testing_size=(256,),
             deflation="full",
         ),
-        hard_bc=True, expected_rel_l2=3.6e-8, run_tag="p1K"),
+        hard_bc=True, expected_rel_l2=2.5e-12, run_tag="p1W"),
     # bN: 1.11e-6 rel-L2 (all-TPU, out/acc/bN.json — bJ config with the
     # deflation Newton step in-run, 7.8x over bJ's 8.70e-6)
     "burgers_1d": Recipe(
