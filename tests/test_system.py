@@ -375,3 +375,17 @@ def test_system_testing_size_fallback():
     res = run_system(prob, spec, log_fn=lines.append)
     assert res.rel_l2 is not None and np.isfinite(res.rel_l2)
     assert any("is not 3-D" in ln for ln in lines)
+
+
+def test_system_recipes_registry():
+    """Every system preset ships a measured recipe whose knobs build a
+    valid TrainSpec via the CLI path (mirrors problems.recipes for the
+    single-field presets)."""
+    from tpinn.problems.systems import SYSTEM_PRESETS, SYSTEM_RECIPES
+
+    assert set(SYSTEM_RECIPES) == set(SYSTEM_PRESETS)
+    for name, rec in SYSTEM_RECIPES.items():
+        for k in ("adam", "lbfgs", "depth", "width", "n_col",
+                  "n_adaptive", "n_bd", "expected_rel_l2", "run_tag"):
+            assert k in rec, (name, k)
+        assert rec["expected_rel_l2"] < 0.1

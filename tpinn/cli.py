@@ -231,6 +231,15 @@ def cmd_system(args):
     from tpinn.problems.systems import get_system
 
     problem = get_system(args.name)
+    if args.recipe:
+        from tpinn.problems.systems import SYSTEM_RECIPES
+
+        rec = SYSTEM_RECIPES.get(args.name)
+        if rec is None:
+            raise SystemExit(f"no system recipe for {args.name!r}")
+        for k in ("adam", "lbfgs", "depth", "width",
+                  "n_col", "n_adaptive", "n_bd"):
+            setattr(args, k, rec[k])
     spec = TrainSpec(
         n_col=args.n_col, n_band=args.n_band, n_adaptive=args.n_adaptive,
         n_bd=args.n_bd, lw=(args.weight_f, 0.0), seed=args.seed,
@@ -370,6 +379,9 @@ def main(argv=None):
     y.add_argument("--n-bd", type=int, default=150)
     y.add_argument("--weight-f", type=float, default=1.0)
     y.add_argument("--seed", type=int, default=1234)
+    y.add_argument("--recipe", action="store_true",
+                   help="use the preset's best-known measured config "
+                        "(problems.systems.SYSTEM_RECIPES)")
     y.add_argument("--platform", default=None)
     y.add_argument("--out", default=None,
                    help="write a servable multi-field checkpoint + "
