@@ -231,22 +231,26 @@ RECIPES = {
         ),
         hard_bc=False, expected_rel_l2=1.95e-2, run_tag="acM4",
         provisional=True, march=4),
-    # wvA: 5.09e-1 (all-TPU, out/acc/wvA.json) — the plain-net control:
-    # the 8pi time mode defeats single-net training at this budget (CPU
-    # ladder in out/acc_cpu agrees); the time-marching arms (wvMT4/8,
-    # r5d queue) are the structural fix measured at 0.13 on CPU at 1/3
-    # this budget.  Recipe stays provisional until they land.
+    # wvMT4: 2.04e-2 rel-L2 (all-TPU, out/acc/wvMT4.json) — 4-window
+    # Cauchy-handoff marching (u AND u_t hand off; core/march.py
+    # second-order path), lw0=0.01 (the helmholtz lesson: near the
+    # operator's eigenstructure small residual != small error, so the
+    # residual term must not swamp the soft IC/edge data).  Controls:
+    # plain single net wvA 0.509 (the 8pi time mode defeats it — CPU
+    # ladder in out/acc_cpu agrees), march-8 wvMT8 2.30e-2 at 1.5x the
+    # wall — wave prefers FEWER, longer windows than convection.
+    # Provisional: 1e-2 class, window-budget scaling continues.
     "wave_1d": Recipe(
         spec=TrainSpec(
-            n_col=8192, n_band=0, n_adaptive=2048, n_bd=0,
-            lw=(1.0, 0.0), grid=111,
-            stages=(StageSpec(depth=5, width=64, act_first="tanh",
+            n_col=4096, n_band=0, n_adaptive=1024, n_bd=512,
+            lw=(0.01, 0.0), grid=111,
+            stages=(StageSpec(depth=4, width=64, act_first="tanh",
                               scl=1.0, epsil=1.0,
-                              adam_epochs=10000, lbfgs_epochs=5000),),
+                              adam_epochs=20000, lbfgs_epochs=6000),),
             pad_features=3, testing_size=(111, 111),
         ),
-        hard_bc=True, expected_rel_l2=9.9e-1, run_tag="wvA",
-        provisional=True),
+        hard_bc=False, expected_rel_l2=2.0e-2, run_tag="wvMT4",
+        provisional=True, march=4),
     # kdA: 1.19e-3 rel-L2 (all-TPU, out/acc/kdA.json) — third-order
     # dispersion through the nested-jvp path; soft IC + exact edge
     # traces.  The soliton translates undistorted at 1e-3 class on the
