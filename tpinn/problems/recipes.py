@@ -198,23 +198,24 @@ RECIPES = {
             pad_features=3, testing_size=(111, 111),
         ),
         hard_bc=True, expected_rel_l2=2.06e-3, run_tag="bsA"),
-    # cvM8 (CPU): time-marching, 8 windows — 1.07e-2 composite where every
-    # single-net arm collapsed (plain 24k-step cvD0: 0.196; causal cvD10:
-    # 0.265; march-4 cvM: 2.04e-2 — narrower windows break through the
-    # collapse plateau faster AND cheaper).  The structural fix for
-    # "solving the PDE backwards in time"; still provisional: the
-    # TPU-budget arms (r4b queue, cvTM) target 1e-3-class.
+    # cvTM: 1.21e-3 rel-L2 (all-TPU, out/acc/cvTM.json) — 8-window
+    # marching at 20k+6k per window; per-window errors 6.7e-4..1.5e-3,
+    # mild growth through handoffs.  Controls: plain 24k-step CPU cvD0
+    # 0.196, causal cvD10 0.265, CPU-budget march-8 cvM8 1.07e-2, and
+    # plain at a 120k-step TPU budget (cvT0) 6.83e-3 — marching beats
+    # the 10x-budget single net 5.6x at 1/3 the wall.  The structural
+    # fix for "solving the PDE backwards in time".
     "convection_1d": Recipe(
         spec=TrainSpec(
-            n_col=2048, n_band=0, n_adaptive=512, n_bd=256,
-            lw=(1.0, 0.0), grid=111,
+            n_col=4096, n_band=0, n_adaptive=1024, n_bd=512,
+            lw=(1.0, 0.0), grid=101,
             stages=(StageSpec(depth=4, width=64, act_first="tanh",
                               scl=1.0, epsil=1.0,
-                              adam_epochs=3000, lbfgs_epochs=1000),),
+                              adam_epochs=20000, lbfgs_epochs=6000),),
             pad_features=3, testing_size=(111, 111),
         ),
-        hard_bc=False, expected_rel_l2=1.07e-2, run_tag="cvM8",
-        provisional=True, march=8),
+        hard_bc=False, expected_rel_l2=1.2e-3, run_tag="cvTM",
+        march=8),
     # acM4: 1.95e-2 rel-L2 (all-TPU, out/acc/acM4.json) — the canonical
     # stiff PINN failure case: plain space-time training collapses to the
     # metastable branch; 4-window marching with the domain-fitted periodic
