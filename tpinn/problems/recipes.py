@@ -216,22 +216,25 @@ RECIPES = {
         ),
         hard_bc=False, expected_rel_l2=1.2e-3, run_tag="cvTM",
         march=8),
-    # acM4: 1.95e-2 rel-L2 (all-TPU, out/acc/acM4.json) — the canonical
+    # acM8: 8.14e-3 rel-L2 (all-TPU, out/acc/acM8.json) — the canonical
     # stiff PINN failure case: plain space-time training collapses to the
-    # metastable branch; 4-window marching with the domain-fitted periodic
-    # embedding breaks the collapse.  Still provisional: 1e-2-class, the
-    # sharp-interface refinement campaign continues (r5 arms).
+    # metastable branch (acP control, 24k TPU steps: 0.505); marching
+    # with the domain-fitted periodic embedding breaks the collapse
+    # (acM4: 1.95e-2; 8 windows at 12k+4k each: 8.14e-3, 62x over
+    # plain).  Provisional: the causal-training literature reaches
+    # 1e-3-class with modified-MLP architectures — window-budget and
+    # architecture arms remain.
     "allen_cahn": Recipe(
         spec=TrainSpec(
             n_col=4096, n_band=0, n_adaptive=1024, n_bd=512,
             lw=(1.0, 0.0), grid=111,
             stages=(StageSpec(depth=4, width=64, act_first="tanh",
                               scl=1.0, epsil=1.0,
-                              adam_epochs=6000, lbfgs_epochs=3000),),
+                              adam_epochs=12000, lbfgs_epochs=4000),),
             pad_features=3, testing_size=(201, 101),
         ),
-        hard_bc=False, expected_rel_l2=1.95e-2, run_tag="acM4",
-        provisional=True, march=4),
+        hard_bc=False, expected_rel_l2=8.1e-3, run_tag="acM8",
+        provisional=True, march=8),
     # wvMT4: 2.04e-2 rel-L2 (all-TPU, out/acc/wvMT4.json) — 4-window
     # Cauchy-handoff marching (u AND u_t hand off; core/march.py
     # second-order path), lw0=0.01 (the helmholtz lesson: near the
