@@ -1658,6 +1658,11 @@ def run_pinn_training(
         testing_size=(int(testing_size["x"]), int(testing_size["y"])),
         lw=(float(equation_weight["f"]), float(equation_weight["df"])),
         dtype=dtype,
+        # the tunneled-TPU fusion pass SIGILLs on 2-wide first-layer
+        # contractions (REPORT "SIGILL" section); minmax x/y or x/t UI
+        # problems are exactly 2-wide, so pad like every shipped recipe
+        # does (model class unchanged, harmless elsewhere)
+        pad_features=3,
         # reference cadence: one loss row per L-BFGS function EVALUATION
         # (software.py:485-488), so the UI loss curves carry the same
         # number of points per quasi-Newton phase as the reference's
